@@ -1,0 +1,160 @@
+"""Generator parity + the golden carve-replay-wins invariant."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tetris_piclim_tpu import engine
+from tetris_piclim_tpu.gen import (
+    CarvingGenerator,
+    ForwardGenerator,
+    GreedyDFSSolver,
+    generate_batch,
+)
+from ref_loader import load_reference, load_reference_algo
+
+
+def test_forward_generator_seed_parity():
+    """Seed-deterministic boards/sequences must match the reference exactly
+    (reference TetrisGameGenerator.py:24 seeds `random` per seed)."""
+    RefGen, _, _ = load_reference_algo()
+    for seed in range(25):
+        ref = RefGen(seed=seed, goal=2, tetrominoes=20, initial_height_max=4)
+        ours = ForwardGenerator(seed=seed, goal=2, num_pieces=20, initial_height_max=4)
+        np.testing.assert_array_equal(ours.board, ref.board)
+        assert ours.sequence == ref.sequence
+    # a taller, harder config too
+    for seed in (3, 15, 77):
+        ref = RefGen(seed=seed, goal=10, tetrominoes=40, initial_height_max=14)
+        ours = ForwardGenerator(seed=seed, goal=10, num_pieces=40, initial_height_max=14)
+        np.testing.assert_array_equal(ours.board, ref.board)
+        assert ours.sequence == ref.sequence
+
+
+def test_solver_parity():
+    """Same verdict, same move stack, same failed_attempts as the reference
+    greedy DFS (TetrisSolver.py:112-163) across a seed sweep."""
+    RefGen, RefSolver, _ = load_reference_algo()
+    for seed in range(20):
+        ref_game = RefGen(seed=seed, goal=2, tetrominoes=20, initial_height_max=4)
+        ref_solver = RefSolver(ref_game.board, ref_game.sequence, 2, max_attempts=1000)
+        r_ok, r_stack, r_fail = ref_solver.solve()
+
+        ours = GreedyDFSSolver(ref_game.board, ref_game.sequence, 2, max_attempts=1000)
+        o_ok, o_stack, o_fail = ours.solve()
+
+        assert o_ok == r_ok, f"seed {seed}: verdict mismatch"
+        assert o_stack == r_stack, f"seed {seed}: stack mismatch"
+        assert o_fail == r_fail, f"seed {seed}: failed_attempts mismatch"
+
+
+def test_solver_parity_hard():
+    RefGen, RefSolver, _ = load_reference_algo()
+    for seed in (1, 9):
+        ref_game = RefGen(seed=seed, goal=10, tetrominoes=40, initial_height_max=14)
+        ref_solver = RefSolver(ref_game.board, ref_game.sequence, 10, max_attempts=500)
+        r_ok, r_stack, r_fail = ref_solver.solve()
+        ours = GreedyDFSSolver(ref_game.board, ref_game.sequence, 10, max_attempts=500)
+        o_ok, o_stack, o_fail = ours.solve()
+        assert (o_ok, o_stack, o_fail) == (r_ok, r_stack, r_fail)
+
+
+def test_carver_rng_stream_parity():
+    """Seeding the global `random` identically, our carver reproduces the
+    reference's `_generate_initial_config` bit-for-bit."""
+    ref = load_reference()
+    for seed in range(8):
+        random.seed(seed)
+        t = ref.Tetris(4, 16, warm_reset=False)
+        random.seed(seed)
+        board, pieces = CarvingGenerator(4, 16).generate()
+        np.testing.assert_array_equal(board, t.board)
+        assert pieces == t.pieces
+
+
+def test_carver_rng_stream_parity_with_solution():
+    ref = load_reference()
+    for seed in (0, 5):
+        random.seed(seed)
+        t = ref.Tetris(6, 18, warm_reset=False, debug=True)
+        random.seed(seed)
+        board, pieces, solution = CarvingGenerator(
+            6, 18, record_solution=True
+        ).generate()
+        np.testing.assert_array_equal(board, t.board)
+        assert pieces == t.pieces
+        assert solution == t.solution
+
+
+def test_carve_replay_wins_through_engine():
+    """The golden invariant (reference game/main.py:49-57): forward-playing
+    the carver's recorded solution through OUR jitted engine ends in a WIN."""
+    jstep = jax.jit(engine.step)
+    rng = random.Random(1234)
+    for L, M in [(2, 10), (5, 15), (10, 30)]:
+        board, pieces, solution = CarvingGenerator(
+            L, M, rng=rng, record_solution=True
+        ).generate()
+        s = engine.make_state(board, np.array(pieces), L, M)
+        for rot, loc in solution:
+            s = jstep(s, jnp.int32(rot), jnp.int32(loc)).state
+        assert int(s.status) == 1, f"L={L} M={M}: replay did not win"
+        assert int(s.lines_cleared) >= L
+
+
+def test_forward_proven_sequence_wins_through_engine():
+    """A solver-proven game, played through OUR engine with the solver's own
+    move stack, must clear >= L lines (solver moves are hard drops, so the
+    engine's drop semantics must agree with the solver's placement depth)."""
+    from tetris_piclim_tpu.tables import PIECE_IDS, GEN_SHAPES
+
+    games = generate_batch(2, 20, seed_start=0, seed_end=12)
+    assert games, "no winnable games in seeds 0..12"
+    jstep = jax.jit(engine.step)
+    checked = 0
+    for g in games[:5]:
+        solver = GreedyDFSSolver(g.board, g.sequence, 2, max_attempts=1000)
+        ok, stack, _ = solver.solve()
+        if not ok:
+            continue
+        # engine needs the piece ids in played order = the stack's pieces
+        ids = [PIECE_IDS[name] for name, _, _ in stack] + [0]
+        s = engine.make_state(
+            g.board.astype(bool), np.array(ids), 2, len(stack)
+        )
+        for name, rotation, col in stack:
+            # translate generator-flavor rotation index to an engine rotation:
+            # find the engine rotation whose mask equals the generator shape
+            from tetris_piclim_tpu import tables
+
+            pid = PIECE_IDS[name]
+            gen_mask = GEN_SHAPES[name][rotation].astype(bool)
+            eng_rot = None
+            for r in range(int(tables.NROT[pid])):
+                m, _ = tables.get_tetromino(pid, r)
+                if m.shape == gen_mask.shape and (m == gen_mask).all():
+                    eng_rot = r
+                    break
+            assert eng_rot is not None
+            s = jstep(s, jnp.int32(eng_rot), jnp.int32(col)).state
+        assert int(s.lines_cleared) >= 2
+        assert int(s.status) == 1
+        checked += 1
+    assert checked >= 3
+
+
+def test_batch_pipeline_matches_reference_counts():
+    """Same winnable-seed set as the reference pipeline for seeds 0..29."""
+    RefGen, RefSolver, _ = load_reference_algo()
+    ref_winnable = []
+    for seed in range(30):
+        g = RefGen(seed=seed, goal=2, tetrominoes=20, initial_height_max=4)
+        ok, _, _ = RefSolver(g.board, g.sequence, 2, max_attempts=1000).solve()
+        ref_winnable.append(ok)
+    ours = generate_batch(2, 20, seed_start=0, seed_end=30)
+    our_seeds = {g.seed for g in ours}
+    for seed, ok in enumerate(ref_winnable):
+        assert (seed in our_seeds) == ok

@@ -1,0 +1,138 @@
+"""Device-resident bank of winnable start configurations + async host refresh.
+
+The TPU-native replacement for the reference's warm-reset pipeline
+(reference: game/tetris.py:190-214, 445-449, 473-488): instead of two worker
+*processes* feeding a bounded ``multiprocessing.Queue`` that ``reset()``
+blocks on, the bank keeps B winnable (board, piece-sequence) pairs resident
+in device memory; a vectorized auto-reset samples rows from it with zero host
+involvement (engine.step_autoreset_batch), and background host threads
+continuously regenerate fresh configs and swap them in, double-buffered, off
+the hot path.
+
+Producers (mirroring the reference's two workers):
+* carving generator (fast, reference game/tetris.py:473-479 equivalent),
+* forward generate+prove pipeline (slow but diverse, reference
+  game/tetris.py:482-488 equivalent).
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tables import BOARD_H, BOARD_W
+from .carver import CarvingGenerator
+from .pipeline import generate_batch, translate_batch
+
+
+class ConfigBank:
+    """Fixed-capacity bank of initial configurations.
+
+    ``boards``: bool[B, 20, 10] and ``pieces``: int8[B, M+1] device arrays.
+    ``refresh_async`` swaps fresh host-generated configs into random rows.
+    """
+
+    def __init__(
+        self,
+        L: int,
+        M: int,
+        capacity: int = 1024,
+        seed: int = 0,
+        device=None,
+    ) -> None:
+        self.L = L
+        self.M = M
+        self.capacity = capacity
+        self.P = M + 1
+        self._rng = random.Random(seed)
+        self._np_rng = np.random.default_rng(seed)
+        self._device = device
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._host_boards = np.zeros((capacity, BOARD_H, BOARD_W), dtype=bool)
+        self._host_pieces = np.zeros((capacity, self.P), dtype=np.int8)
+        self._fill_count = 0
+        self.boards: Optional[jax.Array] = None
+        self.pieces: Optional[jax.Array] = None
+
+    # -- producers ----------------------------------------------------------
+
+    def _carve_one(self) -> tuple[np.ndarray, list[int]]:
+        gen = CarvingGenerator(self.L, self.M, rng=self._rng)
+        return gen.generate()
+
+    def fill(self, carve_fraction: float = 1.0, seed_start: int = 0) -> "ConfigBank":
+        """Synchronously fill the bank. ``carve_fraction`` of rows come from
+        the carving generator; the rest from the forward+prove pipeline."""
+        n_carve = int(self.capacity * carve_fraction)
+        for i in range(n_carve):
+            b, p = self._carve_one()
+            self._host_boards[i] = b
+            self._host_pieces[i] = np.asarray(p[: self.P], dtype=np.int8)
+        i = n_carve
+        seed = seed_start
+        while i < self.capacity:
+            games = generate_batch(self.L, self.M, seed_start=seed, seed_end=seed + 100)
+            seed += 100
+            for b, p in translate_batch(games, self.M, rng=self._rng, parity=False):
+                if i >= self.capacity:
+                    break
+                self._host_boards[i] = b
+                seq = (p + [0] * self.P)[: self.P]
+                self._host_pieces[i] = np.asarray(seq, dtype=np.int8)
+                i += 1
+        self._fill_count = self.capacity
+        self._upload()
+        return self
+
+    def _upload(self) -> None:
+        kwargs = {"device": self._device} if self._device is not None else {}
+        self.boards = jax.device_put(jnp.asarray(self._host_boards), **kwargs)
+        self.pieces = jax.device_put(jnp.asarray(self._host_pieces), **kwargs)
+
+    # -- async refresh ------------------------------------------------------
+
+    def start_refresh(
+        self, n_threads: int = 1, batch_per_cycle: int = 32
+    ) -> None:
+        """Background threads keep carving fresh configs into random rows and
+        re-upload the bank after each cycle (double-buffered on the host; the
+        device arrays are replaced atomically by rebinding)."""
+        self._stop.clear()
+
+        def worker(tid: int) -> None:
+            rng = random.Random(hash((tid, id(self))) & 0xFFFFFFFF)
+            while not self._stop.is_set():
+                fresh = []
+                for _ in range(batch_per_cycle):
+                    if self._stop.is_set():
+                        return
+                    gen = CarvingGenerator(self.L, self.M, rng=rng)
+                    fresh.append(gen.generate())
+                with self._lock:
+                    rows = self._np_rng.integers(0, self.capacity, len(fresh))
+                    for row, (b, p) in zip(rows, fresh):
+                        self._host_boards[row] = b
+                        self._host_pieces[row] = np.asarray(
+                            p[: self.P], dtype=np.int8
+                        )
+                    self._upload()
+
+        for t in range(n_threads):
+            th = threading.Thread(target=worker, args=(t,), daemon=True)
+            th.start()
+            self._threads.append(th)
+
+    def stop_refresh(self) -> None:
+        """Clean shutdown — the analogue of the reference's Event + drain +
+        join protocol (game/tetris.py:451-466), without a queue to drain."""
+        self._stop.set()
+        for th in self._threads:
+            th.join(timeout=30)
+        self._threads.clear()
