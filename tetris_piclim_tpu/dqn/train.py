@@ -1,0 +1,272 @@
+"""DQN trainer — on-device actor-learner loop.
+
+The complete training loop the reference never wrote (its train() stub ends
+at model/train.py:27 after constructing the optimizer). One jitted "chunk"
+fuses: vmapped epsilon-greedy action selection over N envs -> lockstep env
+step with bank auto-reset -> batched replay write -> replay sample ->
+TD update -> Polyak target update, scanned ``log_every`` times. The host
+only logs metrics and (optionally) refreshes the config bank between chunks
+— the bank arrays are ordinary jit arguments, so a refresh never recompiles.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import engine
+from ..gen.bank import ConfigBank
+from ..models.qnet import ACTION_DIM, QNetwork
+from ..utils.config import TrainConfig
+from . import agent as agent_lib
+from . import replay as replay_lib
+
+
+class TrainState(NamedTuple):
+    params: dict
+    target_params: dict
+    opt_state: tuple
+    replay: replay_lib.ReplayState
+    env: engine.EnvState          # batched [N]
+    key: jax.Array
+    global_step: jax.Array        # int32 — env steps taken (per-env lockstep)
+    updates_done: jax.Array       # int32
+
+
+class ChunkMetrics(NamedTuple):
+    episodes: jax.Array
+    wins: jax.Array
+    lines: jax.Array
+    reward: jax.Array
+    loss_sum: jax.Array
+    loss_count: jax.Array
+    q_mean_sum: jax.Array
+
+
+class DQNTrainer:
+    def __init__(self, cfg: TrainConfig, bank: Optional[ConfigBank] = None):
+        self.cfg = cfg
+        self.net = QNetwork(action_dim=ACTION_DIM)
+        self.apply_fn = self.net.apply
+
+        if bank is None:
+            bank = ConfigBank(
+                cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
+            ).fill()
+        self.bank = bank
+
+        key = jax.random.PRNGKey(cfg.seed)
+        key, k_init, k_env = jax.random.split(key, 3)
+        params = self.net.init(
+            k_init, jnp.zeros((1, engine.OBS_DIM), jnp.float32)
+        )
+        self.optimizer = agent_lib.make_optimizer(cfg.dqn)
+        opt_state = self.optimizer.init(params)
+
+        idx = jax.random.randint(
+            k_env, (cfg.num_envs,), 0, bank.boards.shape[0]
+        )
+        env = engine.make_state_batch(
+            bank.boards[idx], bank.pieces[idx], cfg.env.L, cfg.env.M
+        )
+        self.state = TrainState(
+            params=params,
+            target_params=params,
+            opt_state=opt_state,
+            replay=replay_lib.replay_init(cfg.replay_capacity),
+            env=env,
+            key=key,
+            global_step=jnp.int32(0),
+            updates_done=jnp.int32(0),
+        )
+        self._chunk = jax.jit(
+            partial(self._chunk_impl), static_argnames=("n_steps",)
+        )
+
+    # -- core jitted chunk ---------------------------------------------------
+
+    def _reward(self, res: engine.StepResult) -> jax.Array:
+        e = self.cfg.env
+        lost = res.done & ~res.won
+        return (
+            res.lines_delta.astype(jnp.float32) * e.reward_per_line
+            + res.won.astype(jnp.float32) * e.win_reward
+            + lost.astype(jnp.float32) * e.loss_reward
+        )
+
+    def _chunk_impl(
+        self,
+        ts: TrainState,
+        bank_boards: jax.Array,
+        bank_pieces: jax.Array,
+        n_steps: int,
+    ) -> tuple[TrainState, ChunkMetrics]:
+        dqn = self.cfg.dqn
+
+        def learn(args):
+            params, target_params, opt_state, rpl, k = args
+            batch = replay_lib.replay_sample(rpl, k, dqn.batch_size)
+            (loss, aux), grads = jax.value_and_grad(
+                agent_lib.td_loss, has_aux=True
+            )(params, target_params, self.apply_fn, batch, dqn)
+            updates, opt_state = self.optimizer.update(
+                grads, opt_state, params
+            )
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            target_params = agent_lib.polyak(target_params, params, dqn.tau)
+            return params, target_params, opt_state, aux["loss"], aux["q_mean"], jnp.int32(1)
+
+        def skip(args):
+            params, target_params, opt_state, _, _ = args
+            return params, target_params, opt_state, jnp.float32(0), jnp.float32(0), jnp.int32(0)
+
+        def body(ts: TrainState, _):
+            key, k_act, k_step, k_sample = jax.random.split(ts.key, 4)
+            obs = engine.observe_batch(ts.env)
+            eps = agent_lib.eps_schedule(ts.global_step, dqn)
+            rot, col = agent_lib.select_actions(
+                self.apply_fn, ts.params, obs, eps, k_act
+            )
+            next_env, res = engine.step_autoreset_batch(
+                ts.env, rot, col, bank_boards, bank_pieces, k_step
+            )
+            next_obs = engine.observe_batch(res.state)  # pre-reset state
+            reward = self._reward(res)
+            rpl = replay_lib.replay_add(
+                ts.replay, obs, rot, col, reward, next_obs, res.done
+            )
+            params, target_params, opt_state, loss, q_mean, did = jax.lax.cond(
+                rpl.size >= max(self.cfg.warmup_steps, dqn.batch_size),
+                learn,
+                skip,
+                (ts.params, ts.target_params, ts.opt_state, rpl, k_sample),
+            )
+            new_ts = TrainState(
+                params=params,
+                target_params=target_params,
+                opt_state=opt_state,
+                replay=rpl,
+                env=next_env,
+                key=key,
+                global_step=ts.global_step + 1,
+                updates_done=ts.updates_done + did,
+            )
+            step_m = ChunkMetrics(
+                episodes=res.done.sum().astype(jnp.int32),
+                wins=res.won.sum().astype(jnp.int32),
+                lines=res.lines_delta.sum().astype(jnp.int32),
+                reward=reward.sum(),
+                loss_sum=loss,
+                loss_count=did,
+                q_mean_sum=q_mean,
+            )
+            return new_ts, step_m
+
+        ts, ms = jax.lax.scan(body, ts, None, length=n_steps)
+        totals = ChunkMetrics(*[m.sum(axis=0) for m in ms])
+        return ts, totals
+
+    # -- host loop -----------------------------------------------------------
+
+    def train(
+        self,
+        total_steps: Optional[int] = None,
+        log_fn=print,
+        refresh_bank: bool = False,
+    ) -> dict:
+        cfg = self.cfg
+        total = total_steps if total_steps is not None else cfg.total_steps
+        chunk = max(1, min(cfg.log_every, total))
+        done_steps = 0
+        history = []
+        if refresh_bank:
+            self.bank.start_refresh()
+        try:
+            t0 = time.time()
+            while done_steps < total:
+                n = min(chunk, total - done_steps)
+                self.state, m = self._chunk(
+                    self.state, self.bank.boards, self.bank.pieces, n_steps=n
+                )
+                jax.block_until_ready(self.state.params)
+                done_steps += n
+                dt = time.time() - t0
+                t0 = time.time()
+                eps_now = float(
+                    agent_lib.eps_schedule(self.state.global_step, cfg.dqn)
+                )
+                episodes = int(m.episodes)
+                row = {
+                    "step": done_steps,
+                    "env_steps": done_steps * cfg.num_envs,
+                    "episodes": episodes,
+                    "win_rate": float(m.wins) / max(episodes, 1),
+                    "lines": int(m.lines),
+                    "reward": float(m.reward),
+                    "loss": float(m.loss_sum) / max(int(m.loss_count), 1),
+                    "q_mean": float(m.q_mean_sum) / max(int(m.loss_count), 1),
+                    "eps": eps_now,
+                    "steps_per_s": n * cfg.num_envs / max(dt, 1e-9),
+                }
+                history.append(row)
+                if log_fn is not None:
+                    log_fn(
+                        f"[{row['step']:>7}] env_steps={row['env_steps']:.2e} "
+                        f"win_rate={row['win_rate']:.3f} loss={row['loss']:.4f} "
+                        f"eps={row['eps']:.3f} sps={row['steps_per_s']:.3e}"
+                    )
+        finally:
+            if refresh_bank:
+                self.bank.stop_refresh()
+        return {"history": history}
+
+    # -- evaluation ----------------------------------------------------------
+
+    def evaluate(self, n_episodes: int = 1024, key=None) -> dict:
+        """Greedy-policy win rate over ``n_episodes`` fresh bank configs:
+        each env plays exactly one episode (no auto-reset), scanned M+1
+        steps so every episode reaches a terminal."""
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed + 1)
+        idx = jax.random.randint(
+            key, (n_episodes,), 0, self.bank.boards.shape[0]
+        )
+        env = engine.make_state_batch(
+            self.bank.boards[idx], self.bank.pieces[idx], cfg.env.L, cfg.env.M
+        )
+
+        @jax.jit
+        def run(params, env):
+            def body(env, _):
+                obs = engine.observe_batch(env)
+                rot, col = agent_lib.select_actions(
+                    self.apply_fn, params, obs,
+                    jnp.float32(0.0), jax.random.PRNGKey(0),
+                )
+                res = engine.step_batch(env, rot, col)
+                # freeze finished envs
+                keep = env.status != engine.RUNNING
+                nxt = jax.tree.map(
+                    lambda a, b: jnp.where(
+                        keep.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                    ),
+                    env, res.state,
+                )
+                return nxt, None
+
+            env, _ = jax.lax.scan(body, env, None, length=cfg.env.M + 1)
+            return env
+
+        final = run(self.state.params, env)
+        status = np.asarray(final.status)
+        return {
+            "episodes": n_episodes,
+            "win_rate": float((status == 1).mean()),
+            "loss_rate": float((status == 2).mean()),
+            "unfinished": float((status == 0).mean()),
+        }

@@ -1,0 +1,86 @@
+"""Q-network for Tetris-piclim DQN.
+
+The reference declares — but never working-implements — a 5-layer MLP
+``Model(217, 14)``: Linear 217->128->128->128->128->14 with ReLU (reference:
+model/model.py:5-20, instantiated at model/train.py:26; model.py:7 has a
+``__init`` typo that makes the class unconstructable). The 217/14 dims are the
+only evidence of the intended obs/action encodings; this module defines and
+documents them (decide-and-document per SURVEY.md §2.8):
+
+* **obs (217)** — the flattening of the reference ``get_state`` tuple
+  (game/tetris.py:435-436): 200 board cells + 7 one-hot current piece +
+  7 one-hot next piece + lines-left + moves-left + status. Produced by
+  :func:`tetris_piclim_tpu.engine.observe`.
+* **actions (14)** — a FACTORED action space: 4 rotation Q-values + 10
+  column Q-values (an action is a (rotation, column) hard drop —
+  reference game/tetris.py:354). The joint Q is additive,
+  ``Q(s, (r, c)) = Q_rot[r] + Q_col[c]`` (action-branching à la
+  "Action Branching Architectures for Deep RL", Tavakoli et al. 2018),
+  so the 14 declared outputs cover the 40 joint actions and both argmax and
+  max decompose per branch — TPU-friendly (no 40-way head needed, though
+  ``joint=True`` offers one for ablation).
+
+Matmul shapes are padded-friendly: 217->128 hits the MXU as a single tile;
+computation in float32 (the network is tiny; bf16 buys nothing here and
+costs reproducibility).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..engine import OBS_DIM
+
+NUM_ROT = 4
+NUM_COL = 10
+ACTION_DIM = NUM_ROT + NUM_COL  # 14, per reference model/train.py:26
+
+
+class QNetwork(nn.Module):
+    """MLP 217 -> 4x128 -> action_dim (reference model/model.py:9-13)."""
+
+    hidden: Sequence[int] = (128, 128, 128, 128)
+    action_dim: int = ACTION_DIM
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for width in self.hidden:
+            x = nn.relu(nn.Dense(width)(x))
+        return nn.Dense(self.action_dim)(x)
+
+
+class FactoredQ:
+    """Helpers for the additive factored Q over (rotation, column)."""
+
+    @staticmethod
+    def split(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return q[..., :NUM_ROT], q[..., NUM_ROT:]
+
+    @staticmethod
+    def greedy(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Joint argmax decomposes per branch for an additive Q."""
+        q_rot, q_col = FactoredQ.split(q)
+        return jnp.argmax(q_rot, axis=-1), jnp.argmax(q_col, axis=-1)
+
+    @staticmethod
+    def max_value(q: jax.Array) -> jax.Array:
+        q_rot, q_col = FactoredQ.split(q)
+        return jnp.max(q_rot, axis=-1) + jnp.max(q_col, axis=-1)
+
+    @staticmethod
+    def gather(q: jax.Array, rot: jax.Array, col: jax.Array) -> jax.Array:
+        q_rot, q_col = FactoredQ.split(q)
+        return (
+            jnp.take_along_axis(q_rot, rot[..., None], axis=-1)[..., 0]
+            + jnp.take_along_axis(q_col, col[..., None], axis=-1)[..., 0]
+        )
+
+
+def init_qnet(key: jax.Array, action_dim: int = ACTION_DIM):
+    net = QNetwork(action_dim=action_dim)
+    params = net.init(key, jnp.zeros((1, OBS_DIM), jnp.float32))
+    return net, params
