@@ -1,0 +1,92 @@
+"""Headline benchmark: batched env-step throughput per chip.
+
+Measures lockstep random-policy stepping of N vmapped Tetris-piclim envs
+with device-bank auto-reset — the hot loop of any training run — on one
+chip. Prints ONE JSON line. Baseline: the reference's single-core pure
+``move()`` throughput, ~49,000 steps/s (BASELINE.md, measured).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tetris_piclim_tpu import engine
+from tetris_piclim_tpu.gen.bank import ConfigBank
+
+BASELINE_STEPS_PER_S = 49_000.0  # reference move()/s, 1 CPU core (BASELINE.md)
+
+NUM_ENVS = 8192
+SCAN_STEPS = 1024
+BANK = 256
+L, M = 2, 20
+REPEATS = 5
+
+
+def build():
+    bank = ConfigBank(L, M, capacity=BANK, seed=0).fill()
+    idx = jnp.arange(NUM_ENVS) % BANK
+    states = engine.make_state_batch(
+        bank.boards[idx], bank.pieces[idx], L, M
+    )
+
+    @jax.jit
+    def rollout(states, bank_boards, bank_pieces, key):
+        def body(carry, _):
+            states, key = carry
+            k1, k2, k3, key = jax.random.split(key, 4)
+            rots = jax.random.randint(k1, (NUM_ENVS,), 0, 4)
+            locs = jax.random.randint(k2, (NUM_ENVS,), 0, 10)
+            states, res = engine.step_autoreset_batch(
+                states, rots, locs, bank_boards, bank_pieces, k3
+            )
+            return (states, key), None
+
+        (states, key), _ = jax.lax.scan(body, (states, key), None, length=SCAN_STEPS)
+        return states
+
+    return bank, states, rollout
+
+
+def main() -> None:
+    t0 = time.time()
+    bank, states, rollout = build()
+    build_s = time.time() - t0
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    states = rollout(states, bank.boards, bank.pieces, key)
+    jax.block_until_ready(states.board)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        states = rollout(states, bank.boards, bank.pieces, key)
+        jax.block_until_ready(states.board)
+        times.append(time.time() - t0)
+
+    best = min(times)
+    steps_per_s = NUM_ENVS * SCAN_STEPS / best
+    result = {
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# envs={NUM_ENVS} scan={SCAN_STEPS} repeats={times} "
+        f"bank_build={build_s:.1f}s compile={compile_s:.1f}s "
+        f"backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

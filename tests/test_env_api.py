@@ -1,0 +1,70 @@
+"""User-facing Tetris class: reference API surface + behavior."""
+
+import numpy as np
+import pytest
+
+from tetris_piclim_tpu.env_api import Tetris
+
+
+def test_cold_env_api_surface():
+    t = Tetris(2, 10, warm_reset=False, seed=0)
+    assert t.board.shape == (20, 10)
+    assert len(t.pieces) == 11  # M+1, reference game/tetris.py:281-284
+    board, cur, nxt, lines_left, moves_left, state = t.get_state()
+    assert lines_left == 2 and moves_left == 10 and state is None
+    t.move(1, 3)
+    assert t.moves_used == 1
+    assert len(t.pieces) == 10
+    t.reset()
+    assert t.moves_used == 0 and t.state is None and t.lines_cleared == 0
+    t.terminate()
+
+
+def test_warm_reset_queue():
+    t = Tetris(2, 10, warm_reset=True, seed=1)
+    first = t.board.copy()
+    assert first[-1].sum() <= 8  # bottom row broken, game/tetris.py:234
+    t.reset()
+    assert t.board.shape == (20, 10)
+    t.terminate()  # clean worker shutdown
+
+
+def test_parity_mode_preserves_reset_quirks():
+    t = Tetris(1, 5, warm_reset=False, parity=True, seed=2)
+    # drive to terminal
+    while t.state is None:
+        t.move(0, 0)
+    assert t.state is not None
+    lines, moves, state = t.lines_cleared, t.moves_used, t.state
+    t.reset()
+    # reference reset() does NOT zero counters (game/tetris.py:438-443)
+    assert t.lines_cleared == lines
+    assert t.moves_used == moves
+    assert t.state == state
+    t.terminate()
+
+
+def test_parity_get_state_raises_at_exhaustion():
+    t = Tetris(1, 3, warm_reset=False, parity=True, seed=3)
+    for _ in range(3):
+        t.move(0, 0)
+    # 3 moves consumed, 1 piece left of M+1=4 → reference would IndexError
+    with pytest.raises(IndexError):
+        t.get_state()
+    t.terminate()
+
+
+def test_debug_solution_replay_wins():
+    t = Tetris(3, 12, warm_reset=False, debug=True, seed=4)
+    sol = list(t.solution)
+    assert sol
+    for rot, loc in sol:
+        t.move(rot, loc)
+    assert t.state is True
+    t.terminate()
+
+
+def test_context_manager():
+    with Tetris(1, 5, warm_reset=True, seed=5) as t:
+        t.move(0, 0)
+    assert not t._workers

@@ -1,0 +1,218 @@
+"""Command-line interface.
+
+The reference's entry point is a dead 1-line stub (reference: main.py:1).
+This CLI exposes every capability: ``train`` (the DQN loop), ``eval``
+(greedy win rate), ``generate`` (winnable-config batches, both families),
+``play`` (random/greedy rollout with ASCII render), ``bench`` (env-step
+throughput).
+
+Usage: ``python -m tetris_piclim_tpu.cli <command> [flags]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _add_env_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-L", "--lines", type=int, default=2, help="lines to clear")
+    p.add_argument("-M", "--moves", type=int, default=20, help="move budget")
+
+
+def cmd_train(args) -> int:
+    from .dqn.train import DQNTrainer
+    from .utils.config import DQNConfig, EnvConfig, TrainConfig
+    from .utils.checkpoint import save_train_state
+    from .utils.metrics import MetricsLogger
+
+    if args.smoke:
+        cfg = TrainConfig(
+            env=EnvConfig(L=1, M=8),
+            num_envs=64, bank_capacity=64, replay_capacity=8192,
+            warmup_steps=256, total_steps=400, log_every=100, seed=args.seed,
+        )
+    else:
+        cfg = TrainConfig(
+            env=EnvConfig(L=args.lines, M=args.moves),
+            dqn=DQNConfig(),
+            num_envs=args.num_envs,
+            bank_capacity=args.bank,
+            replay_capacity=args.replay,
+            warmup_steps=args.warmup,
+            total_steps=args.steps,
+            log_every=args.log_every,
+            seed=args.seed,
+        )
+    if args.config:
+        with open(args.config) as fh:
+            cfg = type(cfg).from_json(fh.read())
+
+    trainer = DQNTrainer(cfg)
+    logger = MetricsLogger(path=args.log_file)
+    trainer.train(
+        log_fn=lambda msg: print(msg, file=sys.stderr),
+        refresh_bank=args.refresh_bank,
+    )
+    ev = trainer.evaluate(n_episodes=args.eval_episodes)
+    logger.log({"final_eval": ev})
+    print(json.dumps(ev))
+    if args.checkpoint:
+        save_train_state(args.checkpoint, trainer.state)
+        print(f"checkpoint saved to {args.checkpoint}", file=sys.stderr)
+    logger.close()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .dqn.train import DQNTrainer
+    from .utils.config import EnvConfig, TrainConfig
+    from .utils.checkpoint import restore_train_state
+
+    cfg = TrainConfig(
+        env=EnvConfig(L=args.lines, M=args.moves),
+        num_envs=64,
+        bank_capacity=args.bank,
+        replay_capacity=8192,
+        seed=args.seed,
+    )
+    trainer = DQNTrainer(cfg)
+    if args.checkpoint:
+        trainer.state = restore_train_state(args.checkpoint, trainer.state)
+    print(json.dumps(trainer.evaluate(n_episodes=args.episodes)))
+    return 0
+
+
+def cmd_generate(args) -> int:
+    import numpy as np
+
+    if args.family == "forward":
+        from .gen.pipeline import generate_batch
+
+        games = generate_batch(
+            args.lines, args.moves,
+            seed_start=args.seed_start, seed_end=args.seed_end,
+            initial_height_max=args.height_max, max_attempts=args.max_attempts,
+        )
+        print(
+            json.dumps({
+                "family": "forward",
+                "winnable": len(games),
+                "attempted": args.seed_end - args.seed_start,
+                "seeds": [g.seed for g in games],
+            })
+        )
+    else:
+        import random
+
+        from .gen.carver import CarvingGenerator
+
+        rng = random.Random(args.seed_start)
+        boards = []
+        for _ in range(args.count):
+            b, p = CarvingGenerator(args.lines, args.moves, rng=rng).generate()
+            boards.append((b, p))
+        print(
+            json.dumps({
+                "family": "carve",
+                "generated": len(boards),
+                "mean_filled_cells": float(
+                    np.mean([b.sum() for b, _ in boards])
+                ),
+            })
+        )
+    return 0
+
+
+def cmd_play(args) -> int:
+    import random
+
+    from .env_api import Tetris
+
+    t = Tetris(args.lines, args.moves, warm_reset=False,
+               render=args.render, debug=True, seed=args.seed)
+    if args.policy == "solution":
+        for rot, loc in t.solution:
+            t.move(rot, loc)
+    else:
+        rng = random.Random(args.seed)
+        while t.state is None:
+            t.move(rng.randint(0, 3), rng.randint(0, 9))
+    print(json.dumps({
+        "result": {True: "win", False: "loss"}[t.state],
+        "lines_cleared": t.lines_cleared,
+        "moves_used": t.moves_used,
+    }))
+    t.terminate()
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    import os
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+        run_name="__main__",
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tetris_piclim_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="run the DQN actor-learner")
+    _add_env_flags(p)
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--bank", type=int, default=1024)
+    p.add_argument("--replay", type=int, default=131072)
+    p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--log-every", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-episodes", type=int, default=1024)
+    p.add_argument("--config", help="TrainConfig JSON file")
+    p.add_argument("--checkpoint", help="save final TrainState here")
+    p.add_argument("--log-file", help="JSONL metrics path")
+    p.add_argument("--refresh-bank", action="store_true")
+    p.add_argument("--smoke", action="store_true", help="tiny smoke run")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="greedy-policy win rate")
+    _add_env_flags(p)
+    p.add_argument("--episodes", type=int, default=1024)
+    p.add_argument("--bank", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("generate", help="winnable-config generation")
+    _add_env_flags(p)
+    p.add_argument("--family", choices=["forward", "carve"], default="forward")
+    p.add_argument("--seed-start", type=int, default=0)
+    p.add_argument("--seed-end", type=int, default=100)
+    p.add_argument("--height-max", type=int, default=4)
+    p.add_argument("--max-attempts", type=int, default=1000)
+    p.add_argument("--count", type=int, default=100, help="carve family only")
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("play", help="play one episode")
+    _add_env_flags(p)
+    p.add_argument("--policy", choices=["random", "solution"], default="solution")
+    p.add_argument("--render", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_play)
+
+    p = sub.add_parser("bench", help="env-step throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

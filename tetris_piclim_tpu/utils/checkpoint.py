@@ -1,0 +1,55 @@
+"""Checkpoint / resume for training state (orbax).
+
+The reference has NO model checkpointing at all (its only
+"CheckpointManager", game/tetris.py:111-137, is the carver's backtracking
+stack — an unrelated in-algorithm structure; SURVEY.md §5.4). Here the full
+TrainState — params, target params, optimizer state, replay buffer, env
+states, RNG key, counters — round-trips through orbax, so a training run can
+resume exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except ImportError:  # pragma: no cover - orbax is baked into the image
+    _HAS_ORBAX = False
+
+
+def save_train_state(path: str, state) -> None:
+    """Save a TrainState pytree to ``path`` (directory)."""
+    path = os.path.abspath(path)
+    if _HAS_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.tree.map(np.asarray, state))
+        ckptr.wait_until_finished()
+    else:  # minimal .npz fallback
+        flat, treedef = jax.tree.flatten(state)
+        os.makedirs(path, exist_ok=True)
+        np.savez(
+            os.path.join(path, "state.npz"),
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
+        )
+
+
+def restore_train_state(path: str, template):
+    """Restore a TrainState saved by :func:`save_train_state`; ``template``
+    provides the pytree structure/dtypes (an untrained TrainState)."""
+    path = os.path.abspath(path)
+    if _HAS_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree.map(np.asarray, template)
+        restored = ckptr.restore(path, target)
+        return jax.tree.map(jax.numpy.asarray, restored)
+    data = np.load(os.path.join(path, "state.npz"))
+    flat, treedef = jax.tree.flatten(template)
+    leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(len(flat))]
+    return jax.tree.unflatten(treedef, leaves)
