@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tetris_piclim_tpu import engine
 from tetris_piclim_tpu.gen.bank import ConfigBank
+from tetris_piclim_tpu.ops import bitboard
 
 BASELINE_STEPS_PER_S = 49_000.0  # reference move()/s, 1 CPU core (BASELINE.md)
 
@@ -30,45 +30,46 @@ REPEATS = 5
 
 def build():
     bank = ConfigBank(L, M, capacity=BANK, seed=0).fill()
+    bank_cols = bitboard.pack_board(bank.boards)
     idx = jnp.arange(NUM_ENVS) % BANK
-    states = engine.make_state_batch(
-        bank.boards[idx], bank.pieces[idx], L, M
+    states = bitboard.make_state_batch(
+        bank_cols[idx], bank.pieces[idx], L, M
     )
 
     @jax.jit
-    def rollout(states, bank_boards, bank_pieces, key):
+    def rollout(states, bank_cols, bank_pieces, key):
         def body(carry, _):
             states, key = carry
             k1, k2, k3, key = jax.random.split(key, 4)
             rots = jax.random.randint(k1, (NUM_ENVS,), 0, 4)
             locs = jax.random.randint(k2, (NUM_ENVS,), 0, 10)
-            states, res = engine.step_autoreset_batch(
-                states, rots, locs, bank_boards, bank_pieces, k3
+            states, res = bitboard.step_autoreset_batch(
+                states, rots, locs, bank_cols, bank_pieces, k3
             )
             return (states, key), None
 
         (states, key), _ = jax.lax.scan(body, (states, key), None, length=SCAN_STEPS)
         return states
 
-    return bank, states, rollout
+    return bank, bank_cols, states, rollout
 
 
 def main() -> None:
     t0 = time.time()
-    bank, states, rollout = build()
+    bank, bank_cols, states, rollout = build()
     build_s = time.time() - t0
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    states = rollout(states, bank.boards, bank.pieces, key)
-    jax.block_until_ready(states.board)
+    states = rollout(states, bank_cols, bank.pieces, key)
+    jax.block_until_ready(states.cols)
     compile_s = time.time() - t0
 
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
-        states = rollout(states, bank.boards, bank.pieces, key)
-        jax.block_until_ready(states.board)
+        states = rollout(states, bank_cols, bank.pieces, key)
+        jax.block_until_ready(states.cols)
         times.append(time.time() - t0)
 
     best = min(times)

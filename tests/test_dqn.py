@@ -93,10 +93,11 @@ def test_learning_improves_win_rate():
     cfg = TrainConfig(
         env=EnvConfig(L=1, M=10),
         num_envs=128, bank_capacity=128, replay_capacity=32768,
-        warmup_steps=500, total_steps=1500, log_every=500, seed=1,
+        warmup_steps=500, total_steps=4000, log_every=1000, seed=1,
     )
     tr = DQNTrainer(cfg)
     before = tr.evaluate(n_episodes=512)["win_rate"]
     tr.train(log_fn=None)
     after = tr.evaluate(n_episodes=512)["win_rate"]
     assert after > before + 0.1, f"no learning: {before:.3f} -> {after:.3f}"
+    assert after > 0.15

@@ -22,6 +22,7 @@ import numpy as np
 from .. import engine
 from ..gen.bank import ConfigBank
 from ..models.qnet import ACTION_DIM, QNetwork
+from ..ops import bitboard
 from ..utils.config import TrainConfig
 from . import agent as agent_lib
 from . import replay as replay_lib
@@ -32,7 +33,7 @@ class TrainState(NamedTuple):
     target_params: dict
     opt_state: tuple
     replay: replay_lib.ReplayState
-    env: engine.EnvState          # batched [N]
+    env: tuple                    # batched env state (backend-specific) [N]
     key: jax.Array
     global_step: jax.Array        # int32 — env steps taken (per-env lockstep)
     updates_done: jax.Array       # int32
@@ -49,10 +50,18 @@ class ChunkMetrics(NamedTuple):
 
 
 class DQNTrainer:
-    def __init__(self, cfg: TrainConfig, bank: Optional[ConfigBank] = None):
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        bank: Optional[ConfigBank] = None,
+        backend: str = "bitboard",
+    ):
         self.cfg = cfg
         self.net = QNetwork(action_dim=ACTION_DIM)
         self.apply_fn = self.net.apply
+        # "bitboard" = packed uint32 production path; "array" = the readable
+        # parity-reference engine. Both expose the same batched API.
+        self.backend = bitboard if backend == "bitboard" else engine
 
         if bank is None:
             bank = ConfigBank(
@@ -71,7 +80,7 @@ class DQNTrainer:
         idx = jax.random.randint(
             k_env, (cfg.num_envs,), 0, bank.boards.shape[0]
         )
-        env = engine.make_state_batch(
+        env = self.backend.make_state_batch(
             bank.boards[idx], bank.pieces[idx], cfg.env.L, cfg.env.M
         )
         self.state = TrainState(
@@ -127,15 +136,15 @@ class DQNTrainer:
 
         def body(ts: TrainState, _):
             key, k_act, k_step, k_sample = jax.random.split(ts.key, 4)
-            obs = engine.observe_batch(ts.env)
+            obs = self.backend.observe_batch(ts.env)
             eps = agent_lib.eps_schedule(ts.global_step, dqn)
             rot, col = agent_lib.select_actions(
                 self.apply_fn, ts.params, obs, eps, k_act
             )
-            next_env, res = engine.step_autoreset_batch(
+            next_env, res = self.backend.step_autoreset_batch(
                 ts.env, rot, col, bank_boards, bank_pieces, k_step
             )
-            next_obs = engine.observe_batch(res.state)  # pre-reset state
+            next_obs = self.backend.observe_batch(res.state)  # pre-reset state
             reward = self._reward(res)
             rpl = replay_lib.replay_add(
                 ts.replay, obs, rot, col, reward, next_obs, res.done
@@ -171,6 +180,12 @@ class DQNTrainer:
         totals = ChunkMetrics(*[m.sum(axis=0) for m in ms])
         return ts, totals
 
+    def _bank_boards(self) -> jax.Array:
+        """Bank boards in the backend's native layout (packed for bitboard)."""
+        if self.backend is bitboard:
+            return bitboard.pack_board(self.bank.boards)
+        return self.bank.boards
+
     # -- host loop -----------------------------------------------------------
 
     def train(
@@ -191,7 +206,7 @@ class DQNTrainer:
             while done_steps < total:
                 n = min(chunk, total - done_steps)
                 self.state, m = self._chunk(
-                    self.state, self.bank.boards, self.bank.pieces, n_steps=n
+                    self.state, self._bank_boards(), self.bank.pieces, n_steps=n
                 )
                 jax.block_until_ready(self.state.params)
                 done_steps += n
@@ -236,19 +251,19 @@ class DQNTrainer:
         idx = jax.random.randint(
             key, (n_episodes,), 0, self.bank.boards.shape[0]
         )
-        env = engine.make_state_batch(
+        env = self.backend.make_state_batch(
             self.bank.boards[idx], self.bank.pieces[idx], cfg.env.L, cfg.env.M
         )
 
         @jax.jit
         def run(params, env):
             def body(env, _):
-                obs = engine.observe_batch(env)
+                obs = self.backend.observe_batch(env)
                 rot, col = agent_lib.select_actions(
                     self.apply_fn, params, obs,
                     jnp.float32(0.0), jax.random.PRNGKey(0),
                 )
-                res = engine.step_batch(env, rot, col)
+                res = self.backend.step_batch(env, rot, col)
                 # freeze finished envs
                 keep = env.status != engine.RUNNING
                 nxt = jax.tree.map(

@@ -273,12 +273,27 @@ def step_autoreset_batch(
     bank_pieces: jax.Array,
     key: jax.Array,
 ) -> tuple[EnvState, StepResult]:
-    """Vmapped auto-reset step over N envs sharing one bank."""
+    """Batched auto-reset step over N envs sharing one bank. One batched
+    randint draws all reset indices — no per-env key splits."""
     n = rotations.shape[0]
-    keys = jax.random.split(key, n)
-    return jax.vmap(
-        step_autoreset, in_axes=(0, 0, 0, None, None, 0)
-    )(states, rotations, locations, bank_boards, bank_pieces, keys)
+    res = step_batch(states, rotations, locations)
+    idx = jax.random.randint(key, (n,), 0, bank_boards.shape[0])
+    fresh = EnvState(
+        board=bank_boards[idx],
+        pieces=bank_pieces[idx],
+        cursor=jnp.zeros((n,), jnp.int32),
+        lines_cleared=jnp.zeros((n,), jnp.int32),
+        moves_used=jnp.zeros((n,), jnp.int32),
+        lines_goal=states.lines_goal,
+        move_limit=states.move_limit,
+        status=jnp.zeros((n,), jnp.int8),
+    )
+    done = res.done
+    next_states = jax.tree.map(
+        lambda f, s: jnp.where(done.reshape((-1,) + (1,) * (f.ndim - 1)), f, s),
+        fresh, res.state,
+    )
+    return next_states, res
 
 
 def make_state_batch(boards, pieces, lines_goal, move_limit) -> EnvState:

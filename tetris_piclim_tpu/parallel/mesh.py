@@ -57,7 +57,7 @@ def shard_train_state(mesh: Mesh, ts, axis: str = "dp"):
     """Lay out a TrainState for the mesh: env + replay batch-sharded,
     everything else replicated. Returns a new TrainState."""
     n = mesh.shape[axis]
-    num_envs = ts.env.board.shape[0]
+    num_envs = jax.tree.leaves(ts.env)[0].shape[0]
     cap = ts.replay.obs.shape[0]
     if num_envs % n or cap % n:
         raise ValueError(
