@@ -1,0 +1,91 @@
+"""On-device carver: every generated config must replay to a WIN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tetris_piclim_tpu.gen import jax_carver
+from tetris_piclim_tpu.gen.minimize import minimize_max_attempts
+from tetris_piclim_tpu.ops import bitboard
+
+
+def test_device_carver_produces_winnable_configs():
+    n, L, M = 64, 4, 16
+    batch = jax.jit(
+        jax_carver.generate_batch_device, static_argnames=("n", "L", "M")
+    )(jax.random.PRNGKey(0), n=n, L=L, M=M)
+    n_ok = int((batch.n_moves > 0).sum())
+    assert n_ok == n, f"only {n_ok}/{n} envs converged"
+
+    # bottom row broken on every board (game/tetris.py:234 invariant)
+    bottom = np.asarray(
+        ((batch.boards >> 19) & 1).sum(axis=1)
+    )
+    assert (bottom <= 8).all()
+
+    # replay every solution through the production engine -> WIN
+    states = bitboard.make_state_batch(batch.boards, batch.pieces, L, M)
+    jstep = jax.jit(bitboard.step)
+    n_mv = np.asarray(batch.n_moves)
+    rots = np.asarray(batch.rotations)
+    locs = np.asarray(batch.locations)
+    for i in range(int(n_mv.max())):
+        active = i < n_mv
+        # inactive envs replay a no-op-ish move but their status is already
+        # checked only at their own n_moves; simplest: step everyone with
+        # their own action (frozen envs' actions are 0 — harmless since we
+        # only assert status at each env's own horizon)
+        res = jstep(
+            states,
+            jnp.asarray(np.where(active, rots[:, i], 0), jnp.int32),
+            jnp.asarray(np.where(active, locs[:, i], 0), jnp.int32),
+        )
+        # keep stepped state only for active envs
+        states = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.asarray(active).reshape((-1,) + (1,) * (a.ndim - 1)), b, a
+            ),
+            states, res.state,
+        )
+    status = np.asarray(states.status)
+    assert (status == 1).all(), f"{(status != 1).sum()} replays did not win"
+    lines = np.asarray(states.lines_cleared)
+    assert (lines >= L).all()
+
+
+def test_device_carver_respects_move_budget():
+    batch = jax.jit(
+        jax_carver.generate_batch_device, static_argnames=("n", "L", "M")
+    )(jax.random.PRNGKey(1), n=32, L=2, M=8)
+    assert int(batch.n_moves.max()) <= 8
+    assert batch.pieces.shape == (32, 9)  # M+1
+
+
+def test_minimize_max_attempts_parity():
+    import sys
+
+    sys.path.insert(0, "/root/reference/game")
+    from tetris_algo_main.minimization import (
+        minimize_max_attempts as ref_minimize,
+    )
+
+    cases = [
+        [
+            {"solvable": True, "failed_attempts": 0},
+            {"solvable": True, "failed_attempts": 0},
+            {"solvable": True, "failed_attempts": 1},
+            {"solvable": True, "failed_attempts": 1},
+            {"solvable": True, "failed_attempts": 1},
+            {"solvable": True, "failed_attempts": 2},
+            {"solvable": True, "failed_attempts": 999},
+            {"solvable": False, "failed_attempts": 1000},
+        ],
+        [
+            {"solvable": False, "failed_attempts": 10},
+            {"solvable": True, "failed_attempts": 3},
+            {"solvable": True, "failed_attempts": 7},
+        ],
+        [{"solvable": False, "failed_attempts": 5}],
+    ]
+    for case in cases:
+        assert minimize_max_attempts(case) == ref_minimize(case)

@@ -1,0 +1,99 @@
+"""Sharded training over a virtual 8-device mesh (multi-chip path on CPU)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tetris_piclim_tpu.dqn.train import DQNTrainer
+from tetris_piclim_tpu.parallel import (
+    make_mesh,
+    replicate,
+    shard_bank,
+    shard_train_state,
+)
+from tetris_piclim_tpu.utils.config import DQNConfig, EnvConfig, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def _tiny_cfg(n_dev: int) -> TrainConfig:
+    return TrainConfig(
+        env=EnvConfig(L=1, M=6),
+        dqn=DQNConfig(batch_size=32),
+        num_envs=8 * n_dev,
+        bank_capacity=16,
+        replay_capacity=64 * n_dev,
+        warmup_steps=1,
+        total_steps=4,
+        log_every=2,
+        seed=0,
+    )
+
+
+def test_sharded_chunk_runs_and_learns(mesh):
+    trainer = DQNTrainer(_tiny_cfg(8))
+    shard_bank(mesh, trainer.bank)
+    trainer.state = shard_train_state(mesh, trainer.state)
+
+    ts, metrics = trainer._chunk(
+        trainer.state, trainer._bank_boards(), trainer.bank.pieces, n_steps=4
+    )
+    jax.block_until_ready(ts.params)
+    assert int(ts.updates_done) == 4  # learner path ran (grad all-reduce)
+    assert int(ts.global_step) == 4
+    # env states remain sharded over the mesh
+    env_leaf = jax.tree.leaves(ts.env)[0]
+    assert len(env_leaf.sharding.device_set) == 8
+
+
+def test_sharded_equals_single_device_numerics(mesh):
+    """The sharded chunk must compute the same result as unsharded (GSPMD
+    partitioning is numerics-preserving for this program)."""
+    t1 = DQNTrainer(_tiny_cfg(8))
+    t2 = DQNTrainer(_tiny_cfg(8))
+    t2.state = shard_train_state(mesh, t2.state)
+
+    ts1, m1 = t1._chunk(
+        t1.state, t1._bank_boards(), t1.bank.pieces, n_steps=3
+    )
+    ts2, m2 = t2._chunk(
+        t2.state, t2._bank_boards(), t2.bank.pieces, n_steps=3
+    )
+    np.testing.assert_allclose(
+        np.asarray(m1.reward), np.asarray(m2.reward), rtol=1e-5
+    )
+    assert int(m1.episodes) == int(m2.episodes)
+    p1 = jax.tree.leaves(ts1.params)[0]
+    p2 = jax.tree.leaves(ts2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_divisibility_contract(mesh):
+    trainer = DQNTrainer(
+        TrainConfig(
+            env=EnvConfig(L=1, M=6),
+            num_envs=12,  # not divisible by 8
+            bank_capacity=8,
+            replay_capacity=64,
+            seed=0,
+        )
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        shard_train_state(mesh, trainer.state)
+
+
+def test_graft_entry_dryrun():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)

@@ -96,6 +96,28 @@ class ConfigBank:
         self.boards = jax.device_put(jnp.asarray(self._host_boards), **kwargs)
         self.pieces = jax.device_put(jnp.asarray(self._host_pieces), **kwargs)
 
+    def fill_device(self, key=None) -> "ConfigBank":
+        """Fill the whole bank ON DEVICE with the vectorized JAX carver
+        (gen/jax_carver.py) — no host generation at all. Orders of magnitude
+        faster than :meth:`fill`; use :meth:`fill` when bit-exact host-carver
+        parity or forward-generator diversity is wanted."""
+        from ..ops.bitboard import unpack_board
+        from .jax_carver import generate_batch_device
+
+        if key is None:
+            key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
+        batch = jax.jit(
+            generate_batch_device, static_argnames=("n", "L", "M")
+        )(key, n=self.capacity, L=self.L, M=self.M)
+        boards = unpack_board(batch.boards)
+        kwargs = {"device": self._device} if self._device is not None else {}
+        self.boards = jax.device_put(boards, **kwargs)
+        self.pieces = jax.device_put(batch.pieces, **kwargs)
+        self._host_boards = np.asarray(boards)
+        self._host_pieces = np.asarray(batch.pieces)
+        self._fill_count = self.capacity
+        return self
+
     # -- async refresh ------------------------------------------------------
 
     def start_refresh(
