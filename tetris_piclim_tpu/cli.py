@@ -50,12 +50,23 @@ def cmd_train(args) -> int:
         with open(args.config) as fh:
             cfg = type(cfg).from_json(fh.read())
 
-    trainer = DQNTrainer(cfg)
+    bank = None
+    if args.device_bank:
+        from .gen.bank import ConfigBank
+
+        bank = ConfigBank(
+            cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
+        ).fill_device()
+    trainer = DQNTrainer(cfg, bank=bank, backend=args.backend)
     logger = MetricsLogger(path=args.log_file)
-    trainer.train(
-        log_fn=lambda msg: print(msg, file=sys.stderr),
-        refresh_bank=args.refresh_bank,
-    )
+
+    from .utils.profiling import device_trace
+
+    with device_trace(args.profile_dir):
+        trainer.train(
+            log_fn=lambda msg: print(msg, file=sys.stderr),
+            refresh_bank=args.refresh_bank,
+        )
     ev = trainer.evaluate(n_episodes=args.eval_episodes)
     logger.log({"final_eval": ev})
     print(json.dumps(ev))
@@ -180,6 +191,15 @@ def main(argv=None) -> int:
     p.add_argument("--log-file", help="JSONL metrics path")
     p.add_argument("--refresh-bank", action="store_true")
     p.add_argument("--smoke", action="store_true", help="tiny smoke run")
+    p.add_argument(
+        "--backend", choices=["bitboard", "array"], default="bitboard",
+        help="bitboard = packed production path; array = parity engine",
+    )
+    p.add_argument(
+        "--device-bank", action="store_true",
+        help="fill the config bank on-device with the JAX carver",
+    )
+    p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="greedy-policy win rate")

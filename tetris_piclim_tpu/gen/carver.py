@@ -26,40 +26,7 @@ from typing import Optional
 import numpy as np
 
 from ..tables import BOARD_H, BOARD_W, get_tetromino
-
-
-class _SevenBag:
-    """7-bag sampler matching reference ``RandomPieceGenerator``
-    (game/tetris.py:64-108): draws without replacement, reports when the bag
-    was just refilled (drives checkpointing), failed carves do NOT consume."""
-
-    def __init__(self, rng) -> None:
-        self.rng = rng
-        self.pieces: list[int] = []
-
-    def refill(self) -> None:
-        self.pieces = list(range(7))
-
-    def draw(self) -> tuple[int, int, bool]:
-        refilled = False
-        if not self.pieces:
-            self.refill()
-            refilled = True
-        idx = self.rng.randint(0, len(self.pieces) - 1)
-        return self.pieces[idx], idx, refilled
-
-    def remove(self, idx: int) -> None:
-        del self.pieces[idx]
-
-    def sequence(self, length: int) -> list[int]:
-        out: list[int] = []
-        while len(out) < length:
-            if not self.pieces:
-                self.refill()
-            self.rng.shuffle(self.pieces)
-            out.extend(self.pieces[: min(length - len(out), 7)])
-            self.pieces = []
-        return out
+from .bag import SevenBag
 
 
 class _Backtracker:
@@ -163,7 +130,7 @@ class CarvingGenerator:
         board[-self.L :, :] = True
         pieces: list[int] = []
         solution: list[tuple[int, int]] = []
-        bag = _SevenBag(rng)
+        bag = SevenBag(rng)
         backtracker = _Backtracker()
 
         # loop until the bottom row is "broken" (<= 8 filled cells) so the
