@@ -1,0 +1,72 @@
+"""Generation benchmarks — the analogues of the reference's perf harnesses.
+
+* games/s of the carving generator (reference soak loop, game/main.py:59-71):
+  host parity carver AND the on-device JAX carver.
+* winnable games/s of the forward generate+prove pipeline (reference
+  tetris_algo_main/main.py timing prints).
+
+Prints one JSON line per benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import time
+
+import jax
+
+
+def bench_host_carver(L=10, M=30, n=100) -> dict:
+    from tetris_piclim_tpu.gen.carver import CarvingGenerator
+
+    rng = random.Random(0)
+    t0 = time.time()
+    for _ in range(n):
+        CarvingGenerator(L, M, rng=rng).generate()
+    dt = time.time() - t0
+    return {
+        "bench": "host_carver_games_per_s", "L": L, "M": M,
+        "value": round(n / dt, 1),
+        "reference_1core": 21.0,  # BASELINE.md, L=10 M=30
+    }
+
+
+def bench_device_carver(L=10, M=30, n=4096) -> dict:
+    from tetris_piclim_tpu.gen.jax_carver import generate_batch_device
+
+    f = jax.jit(generate_batch_device, static_argnames=("n", "L", "M"))
+    b = f(jax.random.PRNGKey(0), n=n, L=L, M=M)
+    jax.block_until_ready(b.boards)
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        b = f(jax.random.PRNGKey(i + 1), n=n, L=L, M=M)
+        jax.block_until_ready(b.boards)
+        times.append(time.time() - t0)
+    return {
+        "bench": "device_carver_games_per_s", "L": L, "M": M,
+        "value": round(n / min(times), 1),
+        "converged": int((b.n_moves > 0).sum()),
+        "reference_1core": 21.0,
+    }
+
+
+def bench_forward_pipeline(L=2, M=20) -> dict:
+    from tetris_piclim_tpu.gen.pipeline import generate_batch
+
+    t0 = time.time()
+    games = generate_batch(L, M, seed_start=0, seed_end=100)
+    dt = time.time() - t0
+    return {
+        "bench": "forward_pipeline_winnable_per_s", "L": L, "M": M,
+        "value": round(len(games) / dt, 2),
+        "winnable": len(games),
+        "batch_s": round(dt, 2),
+        "reference_2core": 19.4,  # BASELINE.md
+    }
+
+
+if __name__ == "__main__":
+    for fn in (bench_host_carver, bench_device_carver, bench_forward_pipeline):
+        print(json.dumps(fn()))
