@@ -117,18 +117,31 @@ class DQNTrainer:
     ) -> tuple[TrainState, ChunkMetrics]:
         dqn = self.cfg.dqn
 
+        n_upd = max(1, self.cfg.updates_per_step)
+
         def learn(args):
             params, target_params, opt_state, rpl, k = args
-            batch = replay_lib.replay_sample(rpl, k, dqn.batch_size)
-            (loss, aux), grads = jax.value_and_grad(
-                agent_lib.td_loss, has_aux=True
-            )(params, target_params, self.apply_fn, batch, dqn)
-            updates, opt_state = self.optimizer.update(
-                grads, opt_state, params
+
+            def one_update(i, carry):
+                params, target_params, opt_state, _, _ = carry
+                k_i = jax.random.fold_in(k, i)
+                batch = replay_lib.replay_sample(rpl, k_i, dqn.batch_size)
+                (loss, aux), grads = jax.value_and_grad(
+                    agent_lib.td_loss, has_aux=True
+                )(params, target_params, self.apply_fn, batch, dqn)
+                updates, opt_state = self.optimizer.update(
+                    grads, opt_state, params
+                )
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                target_params = agent_lib.polyak(target_params, params, dqn.tau)
+                return params, target_params, opt_state, aux["loss"], aux["q_mean"]
+
+            carry = (params, target_params, opt_state,
+                     jnp.float32(0), jnp.float32(0))
+            params, target_params, opt_state, loss, q_mean = (
+                jax.lax.fori_loop(0, n_upd, one_update, carry)
             )
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            target_params = agent_lib.polyak(target_params, params, dqn.tau)
-            return params, target_params, opt_state, aux["loss"], aux["q_mean"], jnp.int32(1)
+            return params, target_params, opt_state, loss, q_mean, jnp.int32(n_upd)
 
         def skip(args):
             params, target_params, opt_state, _, _ = args
