@@ -12,20 +12,55 @@ from tetris_piclim_tpu.utils.config import DQNConfig, EnvConfig, TrainConfig
 from tetris_piclim_tpu.engine import OBS_DIM
 
 
+def _states(n, fill_col=0):
+    from tetris_piclim_tpu.ops import bitboard
+
+    boards = jnp.zeros((n, 20, 10), bool).at[:, 19, fill_col].set(True)
+    pieces = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int8) % 7, (n, 8))
+    return bitboard.make_state_batch(boards, pieces, 2, 7)
+
+
 def test_replay_ring_semantics():
     r = replay_lib.replay_init(8)
-    obs = jnp.arange(5, dtype=jnp.float32)[:, None] * jnp.ones((5, OBS_DIM))
+    s = _states(4)
     add = jax.jit(replay_lib.replay_add)
-    r = add(r, obs, jnp.zeros(5, jnp.int32), jnp.zeros(5, jnp.int32),
-            jnp.arange(5, dtype=jnp.float32), obs, jnp.zeros(5, bool))
-    assert int(r.size) == 5 and int(r.pos) == 5
-    # wrap around
-    obs2 = obs + 100
-    r = add(r, obs2, jnp.ones(5, jnp.int32), jnp.ones(5, jnp.int32),
-            jnp.arange(5, dtype=jnp.float32) + 100, obs2, jnp.ones(5, bool))
-    assert int(r.size) == 8 and int(r.pos) == 2
-    # slots 5,6,7 hold new entries 0,1,2; slots 0,1 hold new entries 3,4
-    np.testing.assert_allclose(np.asarray(r.reward), [103, 104, 2, 3, 4, 100, 101, 102])
+    r = add(r, s, jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+            jnp.arange(4, dtype=jnp.float32), s, jnp.zeros(4, bool))
+    assert int(r.size) == 4 and int(r.pos) == 4
+    r = add(r, s, jnp.ones(4, jnp.int32), jnp.ones(4, jnp.int32),
+            jnp.arange(4, dtype=jnp.float32) + 100, s, jnp.ones(4, bool))
+    assert int(r.size) == 8 and int(r.pos) == 0
+    r = add(r, s, jnp.ones(4, jnp.int32), jnp.ones(4, jnp.int32),
+            jnp.arange(4, dtype=jnp.float32) + 200, s, jnp.ones(4, bool))
+    assert int(r.size) == 8 and int(r.pos) == 4  # wrapped, overwrote slots 0-3
+    np.testing.assert_allclose(
+        np.asarray(r.reward), [200, 201, 202, 203, 100, 101, 102, 103]
+    )
+    # non-divisible write is rejected at trace time
+    with pytest.raises(ValueError, match="multiple"):
+        replay_lib.replay_add(
+            replay_lib.replay_init(10), _states(4),
+            jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+            jnp.zeros(4), _states(4), jnp.zeros(4, bool),
+        )
+
+
+def test_replay_sample_reconstructs_observation():
+    """Sampled obs must equal what observe() produced at write time."""
+    from tetris_piclim_tpu.ops import bitboard
+
+    r = replay_lib.replay_init(8)
+    s = _states(8, fill_col=3)
+    obs_direct = bitboard.observe_batch(s)
+    r = replay_lib.replay_add(
+        r, s, jnp.zeros(8, jnp.int32), jnp.zeros(8, jnp.int32),
+        jnp.zeros(8), s, jnp.zeros(8, bool),
+    )
+    batch = replay_lib.replay_sample(r, jax.random.PRNGKey(0), 16)
+    # every sampled row must match one of the written observations
+    for row in np.asarray(batch.obs):
+        diffs = np.abs(np.asarray(obs_direct) - row[None]).sum(axis=1)
+        assert diffs.min() < 1e-6
 
 
 def test_factored_q_math():

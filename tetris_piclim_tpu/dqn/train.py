@@ -157,10 +157,15 @@ class DQNTrainer:
             next_env, res = self.backend.step_autoreset_batch(
                 ts.env, rot, col, bank_boards, bank_pieces, k_step
             )
-            next_obs = self.backend.observe_batch(res.state)  # pre-reset state
             reward = self._reward(res)
+            # replay stores packed states; the array backend packs on the fly
+            if self.backend is bitboard:
+                s_before, s_after = ts.env, res.state
+            else:
+                s_before = bitboard.from_env_state(ts.env)
+                s_after = bitboard.from_env_state(res.state)
             rpl = replay_lib.replay_add(
-                ts.replay, obs, rot, col, reward, next_obs, res.done
+                ts.replay, s_before, rot, col, reward, s_after, res.done
             )
             params, target_params, opt_state, loss, q_mean, did = jax.lax.cond(
                 rpl.size >= max(self.cfg.warmup_steps, dqn.batch_size),

@@ -125,8 +125,13 @@ class ConfigBank:
     ) -> None:
         """Background threads keep carving fresh configs into random rows and
         re-upload the bank after each cycle (double-buffered on the host; the
-        device arrays are replaced atomically by rebinding)."""
+        device arrays are replaced atomically by rebinding).
+
+        Failure handling (the reference has none — a dead warm-reset worker
+        silently starves reset() forever, SURVEY.md §5.3): a worker that dies
+        with an exception is restarted by the supervisor up to 5 times."""
         self._stop.clear()
+        self._restarts = 0
 
         def worker(tid: int) -> None:
             rng = random.Random(hash((tid, id(self))) & 0xFFFFFFFF)
@@ -146,8 +151,20 @@ class ConfigBank:
                         )
                     self._upload()
 
+        def supervised(tid: int) -> None:
+            while not self._stop.is_set():
+                try:
+                    worker(tid)
+                    return
+                except Exception:
+                    with self._lock:
+                        self._restarts += 1
+                        if self._restarts > 5:
+                            raise
+                    continue
+
         for t in range(n_threads):
-            th = threading.Thread(target=worker, args=(t,), daemon=True)
+            th = threading.Thread(target=supervised, args=(t,), daemon=True)
             th.start()
             self._threads.append(th)
 

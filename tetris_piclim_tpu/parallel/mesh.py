@@ -58,7 +58,7 @@ def shard_train_state(mesh: Mesh, ts, axis: str = "dp"):
     everything else replicated. Returns a new TrainState."""
     n = mesh.shape[axis]
     num_envs = jax.tree.leaves(ts.env)[0].shape[0]
-    cap = ts.replay.obs.shape[0]
+    cap = ts.replay.cols.shape[0]
     if num_envs % n or cap % n:
         raise ValueError(
             f"num_envs ({num_envs}) and replay_capacity ({cap}) must be "
