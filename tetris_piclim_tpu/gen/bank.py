@@ -44,9 +44,13 @@ class ConfigBank:
         capacity: int = 1024,
         seed: int = 0,
         device=None,
+        parity_translate: bool = False,
     ) -> None:
         self.L = L
         self.M = M
+        # reproduce the reference's prepended-random-first-piece quirk in
+        # forward-family rows (game/tetris.py:19-20)? SURVEY.md §7 policy.
+        self.parity_translate = parity_translate
         self.capacity = capacity
         self.P = M + 1
         self._rng = random.Random(seed)
@@ -80,7 +84,9 @@ class ConfigBank:
         while i < self.capacity:
             games = generate_batch(self.L, self.M, seed_start=seed, seed_end=seed + 100)
             seed += 100
-            for b, p in translate_batch(games, self.M, rng=self._rng, parity=False):
+            for b, p in translate_batch(
+                games, self.M, rng=self._rng, parity=self.parity_translate
+            ):
                 if i >= self.capacity:
                     break
                 self._host_boards[i] = b
