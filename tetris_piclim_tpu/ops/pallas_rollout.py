@@ -1,0 +1,318 @@
+"""Pallas TPU kernel: K fused env steps with VMEM-resident state.
+
+The jitted bitboard scan (ops/bitboard.py) round-trips the env state through
+HBM every step. This kernel keeps a tile of envs resident in VMEM for K
+consecutive random-policy steps — the memory traffic drops from
+K x (state in + state out) to one load + one store per tile, and the
+per-step table/bank lookups become one-hot matmuls on the MXU (Mosaic has no
+general vector gather; one-hot contraction is the TPU idiom for tiny-table
+lookups).
+
+Semantics per step are bitboard.step + bank auto-reset, with two deliberate
+bench-local simplifications (documented, NOT used for training):
+* actions come from the in-kernel PRNG (pltpu.prng_random_bits) — this is
+  the random-policy rollout workload of bench.py;
+* uniform ints use multiply-shift range reduction, which has O(2^-16)
+  modulo bias — irrelevant for a throughput benchmark.
+
+Step-equivalence of the board math against bitboard.step is asserted
+bit-exactly by tests/test_pallas_rollout.py: in interpret mode the TPU PRNG
+yields all-zero bits, making the kernel's policy deterministic (rot=0,
+loc=0, reset to bank row 0), and the test replays exactly that policy
+through the scan engine. The live RNG path is validated on hardware by
+benchmarks/bench_pallas.py (dispersion check).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from . import bitboard as bb
+
+H, W = tables.BOARD_H, tables.BOARD_W
+P28 = 28  # piece*4 + rot
+
+
+def _build_small_tables():
+    """[28, 4] column masks / rtopo (sentinel -BIG outside piece width) and
+    [28] width/height/nrot-wrapped helpers, as float32 for MXU contraction
+    (all values < 2^24 -> exact in f32)."""
+    colmask = np.zeros((P28, 4), np.float32)
+    rtopo = np.full((P28, 4), -float(1 << 20), np.float32)
+    width = np.zeros((P28,), np.float32)
+    height = np.zeros((P28,), np.float32)
+    for p in range(7):
+        for r in range(4):
+            i = p * 4 + r
+            mask = tables.MASKS[p, r]
+            w = int(tables.WIDTH[p, r])
+            h = int(tables.HEIGHT[p, r])
+            width[i] = w
+            height[i] = h
+            for c in range(w):
+                bits = 0
+                for row in range(4):
+                    if mask[row, c]:
+                        bits |= 1 << row
+                colmask[i, c] = bits
+                rtopo[i, c] = int(tables.RTOPO[p, r, c])
+    nrot = tables.NROT.astype(np.float32)
+    return colmask, rtopo, width, height, nrot
+
+
+_COLMASK4, _RTOPO4, _WIDTH28, _HEIGHT28, _NROT7 = _build_small_tables()
+
+
+def _kernel(
+    seed_ref, cols_ref, pieces_ref, cursor_ref, lines_ref, moves_ref,
+    status_ref, lg_ref, ml_ref, bank_cols_ref, bank_pieces_ref,
+    colmask_ref, rtopo_ref, width_ref, height_ref, nrot_ref,
+    out_cols_ref, out_cursor_ref, out_lines_ref, out_moves_ref,
+    out_status_ref, out_stats_ref,
+    *, n_steps: int, tile: int, bank: int, pieces_len: int,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pid = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + pid)
+
+    f32 = jnp.float32
+    onehot_cols = jax.lax.broadcasted_iota(jnp.int32, (tile, P28), 1)
+    onehot_bank_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, bank), 1)
+    onehot_piece_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, pieces_len), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, W), 1)
+
+    def rand_uniform_int(maxval_f):
+        """[tile] uniform ints in [0, maxval) via multiply-shift."""
+        bits = pltpu.prng_random_bits((tile, 1))[:, 0]
+        hi16 = (bits >> 16).astype(f32)
+        return (hi16 * maxval_f / 65536.0).astype(jnp.int32)
+
+    def body(step, carry):
+        cols, pieces_f, cursor, lines, moves, status, lg, ml, episodes, wins = carry
+        # --- current piece: one-hot over the sequence ---
+        cur_onehot = (onehot_piece_iota == cursor[:, None]).astype(f32)
+        piece = jnp.sum(cur_onehot * pieces_f, axis=1).astype(jnp.int32)
+
+        # --- random action ---
+        rot_raw = rand_uniform_int(jnp.full((), 4.0, f32))
+        # nrot lookup via 7-wide one-hot
+        p_onehot7 = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile, 7), 1) == piece[:, None]
+        ).astype(f32)
+        nrot = jnp.sum(p_onehot7 * nrot_ref[:][None, :], axis=1).astype(jnp.int32)
+        r = jnp.mod(rot_raw, nrot)
+        flat = piece * 4 + r
+        oh28 = (onehot_cols == flat[:, None]).astype(f32)     # [tile, 28]
+        w = jnp.dot(oh28, width_ref[:][:, None],
+                    preferred_element_type=f32)[:, 0].astype(jnp.int32)
+        h = jnp.dot(oh28, height_ref[:][:, None],
+                    preferred_element_type=f32)[:, 0].astype(jnp.int32)
+        cm4 = jnp.dot(oh28, colmask_ref[:],
+                      preferred_element_type=f32)            # [tile, 4]
+        rt4 = jnp.dot(oh28, rtopo_ref[:],
+                      preferred_element_type=f32)            # [tile, 4]
+
+        loc_raw = rand_uniform_int(jnp.full((), 10.0, f32))
+        loc = jnp.minimum(loc_raw, W - w)
+
+        # --- align 4-wide piece columns onto the 10 board columns ---
+        rel = col_iota - loc[:, None]                         # [tile, 10]
+        in_piece = (rel >= 0) & (rel < 4)
+        relc = jnp.clip(rel, 0, 3)
+        rel_onehot = (
+            relc[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (tile, W, 4), 2)
+        ).astype(f32)
+        mask10 = jnp.sum(rel_onehot * cm4[:, None, :], axis=2)
+        mask10 = jnp.where(in_piece, mask10, 0.0).astype(jnp.uint32)
+        rtopo10 = jnp.sum(rel_onehot * rt4[:, None, :], axis=2)
+        rtopo10 = jnp.where(in_piece, rtopo10, -f32(1 << 20)).astype(jnp.int32)
+
+        # --- drop ---
+        t = jax.lax.population_count((~cols) & (cols - jnp.uint32(1)))
+        topo = jnp.where(cols == 0, jnp.int32(H), t.astype(jnp.int32))
+        deltas = topo - rtopo10
+        drop = jnp.min(deltas, axis=1) - 1
+        topout = drop < 0
+        drop_c = jnp.maximum(drop, 0).astype(jnp.uint32)
+        locked = cols | (mask10 << drop_c[:, None])
+
+        # --- line clear ---
+        full = locked[:, 0]
+        for c in range(1, W):
+            full = full & locked[:, c]
+        span = (
+            ((jnp.uint32(1) << h.astype(jnp.uint32)) - 1) << drop_c
+        )
+        cm = full & span
+        k = jax.lax.population_count(cm).astype(jnp.int32)
+        board = locked
+        cmw = cm
+        for _ in range(4):
+            active = cmw != 0
+            lsb = cmw & (~cmw + jnp.uint32(1))
+            low = lsb - jnp.uint32(1)
+            keep_hi = ~((lsb << 1) - jnp.uint32(1))
+            newb = ((board & low[:, None]) << 1) | (board & keep_hi[:, None])
+            board = jnp.where(active[:, None], newb, board)
+            cmw = cmw & (cmw - jnp.uint32(1))
+
+        moves_n = moves + 1
+        lines_n = lines + k
+        RUN, WINS, LOSSS = jnp.int32(0), jnp.int32(1), jnp.int32(2)
+        st_nc = jnp.where(moves_n >= ml, LOSSS, status)
+        st_c = jnp.where(lines_n >= lg, WINS,
+                         jnp.where(moves_n >= ml, LOSSS, status))
+        status_n = jnp.where(topout, LOSSS, jnp.where(k > 0, st_c, st_nc))
+
+        new_cols = jnp.where(topout[:, None], cols, board)
+        new_lines = jnp.where(topout, lines, lines_n)
+        new_moves = jnp.where(topout, moves, moves_n)
+        cursor_n = cursor + 1
+        done = status_n != RUN
+        won = status_n == WINS
+
+        # --- auto-reset from the bank (one-hot contraction) ---
+        idx = rand_uniform_int(jnp.full((), float(bank), f32))
+        b_onehot = (onehot_bank_iota == idx[:, None]).astype(f32)
+        fresh_cols = jnp.dot(
+            b_onehot, bank_cols_ref[:], preferred_element_type=f32
+        ).astype(jnp.uint32)
+        fresh_pieces = jnp.dot(
+            b_onehot, bank_pieces_ref[:], preferred_element_type=f32
+        )
+
+        cols = jnp.where(done[:, None], fresh_cols, new_cols)
+        pieces_f = jnp.where(done[:, None], fresh_pieces, pieces_f)
+        cursor = jnp.where(done, 0, cursor_n)
+        lines = jnp.where(done, 0, new_lines)
+        moves = jnp.where(done, 0, new_moves)
+        status = jnp.where(done, RUN, status_n)
+        episodes = episodes + jnp.sum(done.astype(jnp.int32))
+        wins = wins + jnp.sum(won.astype(jnp.int32))
+        return (cols, pieces_f, cursor, lines, moves, status, lg, ml,
+                episodes, wins)
+
+    init = (
+        cols_ref[:],
+        pieces_ref[:].astype(f32),
+        cursor_ref[:, 0],
+        lines_ref[:, 0],
+        moves_ref[:, 0],
+        status_ref[:, 0],
+        lg_ref[:, 0],
+        ml_ref[:, 0],
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    (cols, pieces_f, cursor, lines, moves, status, lg, ml, episodes, wins) = (
+        jax.lax.fori_loop(0, n_steps, body, init)
+    )
+    out_cols_ref[:] = cols
+    out_cursor_ref[:, 0] = cursor
+    out_lines_ref[:, 0] = lines
+    out_moves_ref[:, 0] = moves
+    out_status_ref[:, 0] = status
+    # per-tile aggregates in a [tile, 1] VMEM column: row 0 = episodes,
+    # row 1 = wins (SMEM per-program scalars aren't lowerable)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    out_stats_ref[:] = jnp.where(
+        row == 0, episodes, jnp.where(row == 1, wins, 0)
+    )
+
+
+def rollout_fused(
+    state: bb.PackedState,
+    bank_cols: jax.Array,     # uint32[B, 10]
+    bank_pieces: jax.Array,   # int8[B, P]
+    seed: jax.Array,          # int32 scalar
+    n_steps: int,
+    tile: int = 2048,
+    interpret: bool = False,
+):
+    """Run ``n_steps`` random-policy steps fully inside a Pallas kernel.
+    Returns (final PackedState-like fields, episodes, wins)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = state.cols.shape[0]
+    assert n % tile == 0, (n, tile)
+    grid = (n // tile,)
+    bank = bank_cols.shape[0]
+    pieces_len = state.pieces.shape[1]
+
+    def col2(x):
+        return x.reshape(n, 1).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _kernel, n_steps=n_steps, tile=tile, bank=bank, pieces_len=pieces_len
+    )
+    row_spec = lambda width, dtype=None: pl.BlockSpec(
+        (tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    rep_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+            row_spec(10),                            # cols
+            row_spec(pieces_len),                    # pieces
+            row_spec(1), row_spec(1), row_spec(1),   # cursor, lines, moves
+            row_spec(1), row_spec(1), row_spec(1),   # status, lg, ml
+            rep_spec((bank, 10)),                    # bank cols (f32)
+            rep_spec((bank, pieces_len)),            # bank pieces (f32)
+            rep_spec((P28, 4)), rep_spec((P28, 4)),  # colmask, rtopo
+            rep_spec((P28,)), rep_spec((P28,)),      # width, height
+            rep_spec((7,)),                          # nrot
+        ],
+        out_specs=[
+            row_spec(10),
+            row_spec(1), row_spec(1), row_spec(1), row_spec(1),
+            row_spec(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 10), jnp.uint32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        state.cols,
+        state.pieces.astype(jnp.int32),
+        col2(state.cursor), col2(state.lines_cleared), col2(state.moves_used),
+        col2(state.status), col2(state.lines_goal), col2(state.move_limit),
+        bank_cols.astype(jnp.float32),
+        bank_pieces.astype(jnp.float32),
+        jnp.asarray(_COLMASK4), jnp.asarray(_RTOPO4),
+        jnp.asarray(_WIDTH28), jnp.asarray(_HEIGHT28), jnp.asarray(_NROT7),
+    )
+    cols, cursor, lines, moves, status, stats = out
+    stats_t = stats.reshape(grid[0], tile)
+    episodes = stats_t[:, 0]
+    wins = stats_t[:, 1]
+    new_state = bb.PackedState(
+        cols=cols,
+        pieces=state.pieces,  # NOTE: reset swaps tracked only in-kernel
+        cursor=cursor[:, 0],
+        lines_cleared=lines[:, 0],
+        moves_used=moves[:, 0],
+        lines_goal=state.lines_goal,
+        move_limit=state.move_limit,
+        status=status[:, 0],
+    )
+    return new_state, episodes.sum(), wins.sum()
