@@ -97,3 +97,12 @@ def test_graft_entry_dryrun():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_distributed_helpers_single_process():
+    from tetris_piclim_tpu.parallel.distributed import init_distributed, sync_hosts
+
+    info = init_distributed()  # single-process: no-op, just reports
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 8
+    sync_hosts()  # must not deadlock on a single host

@@ -123,17 +123,18 @@ def _kernel(
         loc = jnp.minimum(loc_raw, W - w)
 
         # --- align 4-wide piece columns onto the 10 board columns ---
+        # (four 2D select-accumulate terms: a [tile, 10, 4] one-hot would
+        # pad its last dim to 128 lanes and blow VMEM)
         rel = col_iota - loc[:, None]                         # [tile, 10]
         in_piece = (rel >= 0) & (rel < 4)
-        relc = jnp.clip(rel, 0, 3)
-        rel_onehot = (
-            relc[:, :, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (tile, W, 4), 2)
-        ).astype(f32)
-        mask10 = jnp.sum(rel_onehot * cm4[:, None, :], axis=2)
-        mask10 = jnp.where(in_piece, mask10, 0.0).astype(jnp.uint32)
-        rtopo10 = jnp.sum(rel_onehot * rt4[:, None, :], axis=2)
-        rtopo10 = jnp.where(in_piece, rtopo10, -f32(1 << 20)).astype(jnp.int32)
+        mask10f = jnp.zeros((tile, W), f32)
+        rtopo10f = jnp.zeros((tile, W), f32)
+        for c in range(4):
+            sel = (rel == c).astype(f32)
+            mask10f = mask10f + sel * cm4[:, c][:, None]
+            rtopo10f = rtopo10f + sel * rt4[:, c][:, None]
+        mask10 = jnp.where(in_piece, mask10f, 0.0).astype(jnp.int32).astype(jnp.uint32)
+        rtopo10 = jnp.where(in_piece, rtopo10f, -f32(1 << 20)).astype(jnp.int32)
 
         # --- drop ---
         t = jax.lax.population_count((~cols) & (cols - jnp.uint32(1)))
@@ -184,7 +185,7 @@ def _kernel(
         b_onehot = (onehot_bank_iota == idx[:, None]).astype(f32)
         fresh_cols = jnp.dot(
             b_onehot, bank_cols_ref[:], preferred_element_type=f32
-        ).astype(jnp.uint32)
+        ).astype(jnp.int32).astype(jnp.uint32)
         fresh_pieces = jnp.dot(
             b_onehot, bank_pieces_ref[:], preferred_element_type=f32
         )
@@ -234,7 +235,7 @@ def rollout_fused(
     bank_pieces: jax.Array,   # int8[B, P]
     seed: jax.Array,          # int32 scalar
     n_steps: int,
-    tile: int = 2048,
+    tile: int = 1024,
     interpret: bool = False,
 ):
     """Run ``n_steps`` random-policy steps fully inside a Pallas kernel.
