@@ -59,3 +59,22 @@ def test_promotion():
     # below threshold: no movement
     new2 = promote_levels(new, np.array([0.1, 0.1, 0.0]), n_levels=3)
     np.testing.assert_array_equal(new, new2)
+
+
+def test_curriculum_trainer_promotes():
+    from tetris_piclim_tpu.dqn.curriculum_train import CurriculumTrainer
+    from tetris_piclim_tpu.utils.config import DQNConfig, EnvConfig, TrainConfig
+
+    cfg = TrainConfig(
+        env=EnvConfig(L=1, M=6),
+        dqn=DQNConfig(batch_size=32),
+        num_envs=64, bank_capacity=16, replay_capacity=2048,
+        warmup_steps=64, seed=0,
+    )
+    tr = CurriculumTrainer([(1, 8), (2, 12)], cfg=cfg)
+    hist = tr.train(total_steps=120, chunk=60, threshold=0.0, fraction=0.5,
+                    log_fn=None)
+    assert len(hist) == 2
+    # threshold 0 forces promotion whenever level-0 episodes occurred
+    assert hist[-1]["level_distribution"][1] > 0
+    assert np.isfinite(hist[-1]["loss"])

@@ -77,6 +77,33 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_curriculum(args) -> int:
+    from .dqn.curriculum_train import CurriculumTrainer
+    from .utils.config import EnvConfig, TrainConfig
+
+    levels = [
+        tuple(int(x) for x in pair.split(":"))
+        for pair in args.levels.split(",")
+    ]
+    cfg = TrainConfig(
+        env=EnvConfig(L=levels[0][0], M=levels[0][1]),
+        num_envs=args.num_envs,
+        bank_capacity=args.bank,
+        replay_capacity=args.replay,
+        warmup_steps=args.warmup,
+        seed=args.seed,
+    )
+    tr = CurriculumTrainer(levels, cfg=cfg, seed=args.seed)
+    hist = tr.train(
+        total_steps=args.steps,
+        chunk=args.chunk,
+        threshold=args.threshold,
+        log_fn=lambda m: print(m, file=sys.stderr),
+    )
+    print(json.dumps(hist[-1]))
+    return 0
+
+
 def cmd_eval(args) -> int:
     from .dqn.train import DQNTrainer
     from .utils.config import EnvConfig, TrainConfig
@@ -201,6 +228,23 @@ def main(argv=None) -> int:
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "curriculum", help="curriculum DQN over (L, M) levels with promotion"
+    )
+    p.add_argument(
+        "--levels", default="1:10,2:15,3:20",
+        help="comma-separated L:M pairs, easiest first",
+    )
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--bank", type=int, default=1024)
+    p.add_argument("--replay", type=int, default=131072)
+    p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--chunk", type=int, default=1000)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_curriculum)
 
     p = sub.add_parser("eval", help="greedy-policy win rate")
     _add_env_flags(p)

@@ -1,0 +1,175 @@
+"""Curriculum DQN trainer: per-env (L, M) levels with win-rate promotion.
+
+Realizes BASELINE.json config 4 ("curriculum sweep over (L, M, initial-config
+density) with per-env termination/auto-reset") end-to-end: one compiled chunk
+trains a heterogeneous population — each env carries its own lines-goal /
+move-limit and resets from the bank of ITS level — and between chunks the
+host promotes a fraction of envs whose level cleared a win-rate threshold.
+The level array is an ordinary jit argument, so promotion never recompiles.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gen import curriculum as cur_lib
+from ..models.qnet import ACTION_DIM, QNetwork
+from ..ops import bitboard
+from ..utils.config import DQNConfig, EnvConfig, TrainConfig
+from . import agent as agent_lib
+from . import replay as replay_lib
+
+
+class CurriculumState(NamedTuple):
+    params: dict
+    target_params: dict
+    opt_state: tuple
+    replay: replay_lib.ReplayState
+    env: bitboard.PackedState
+    key: jax.Array
+    global_step: jax.Array
+
+
+class CurriculumTrainer:
+    def __init__(
+        self,
+        levels: Sequence[tuple[int, int]],
+        cfg: Optional[TrainConfig] = None,
+        seed: int = 0,
+    ) -> None:
+        self.levels = list(levels)
+        self.cfg = cfg or TrainConfig()
+        self.n_levels = len(levels)
+        key = jax.random.PRNGKey(seed)
+        key, k_bank, k_env, k_init = jax.random.split(key, 4)
+
+        self.bank = cur_lib.build_curriculum_bank(
+            k_bank, levels, capacity=self.cfg.bank_capacity
+        )
+        n = self.cfg.num_envs
+        self.level = np.zeros(n, dtype=np.int64)  # everyone starts easy
+        env = cur_lib.make_states(
+            self.bank, jnp.asarray(self.level, jnp.int32), k_env
+        )
+
+        self.net = QNetwork(action_dim=ACTION_DIM)
+        self.apply_fn = self.net.apply
+        params = self.net.init(k_init, jnp.zeros((1, 217), jnp.float32))
+        self.optimizer = agent_lib.make_optimizer(self.cfg.dqn)
+        self.state = CurriculumState(
+            params=params,
+            target_params=params,
+            opt_state=self.optimizer.init(params),
+            replay=replay_lib.replay_init(self.cfg.replay_capacity),
+            env=env,
+            key=key,
+            global_step=jnp.int32(0),
+        )
+        self._rng = np.random.default_rng(seed)
+        self._chunk = jax.jit(self._chunk_impl, static_argnames=("n_steps",))
+
+    def _chunk_impl(self, ts: CurriculumState, bank, level, n_steps: int):
+        dqn = self.cfg.dqn
+        K = self.n_levels
+
+        def learn(args):
+            params, target_params, opt_state, rpl, k = args
+            batch = replay_lib.replay_sample(rpl, k, dqn.batch_size)
+            (loss, aux), grads = jax.value_and_grad(
+                agent_lib.td_loss, has_aux=True
+            )(params, target_params, self.apply_fn, batch, dqn)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            target_params = agent_lib.polyak(target_params, params, dqn.tau)
+            return params, target_params, opt_state, aux["loss"]
+
+        def skip(args):
+            params, target_params, opt_state, _, _ = args
+            return params, target_params, opt_state, jnp.float32(0)
+
+        def body(ts: CurriculumState, _):
+            key, k_act, k_step, k_sample = jax.random.split(ts.key, 4)
+            obs = bitboard.observe_batch(ts.env)
+            eps = agent_lib.eps_schedule(ts.global_step, dqn)
+            rot, col = agent_lib.select_actions(
+                self.apply_fn, ts.params, obs, eps, k_act
+            )
+            next_env, res = cur_lib.step_autoreset_curriculum(
+                ts.env, rot, col, bank, level, k_step
+            )
+            lost = res.done & ~res.won
+            reward = (
+                res.lines_delta.astype(jnp.float32) * self.cfg.env.reward_per_line
+                + res.won.astype(jnp.float32) * self.cfg.env.win_reward
+                + lost.astype(jnp.float32) * self.cfg.env.loss_reward
+            )
+            rpl = replay_lib.replay_add(
+                ts.replay, ts.env, rot, col, reward, res.state, res.done
+            )
+            params, target_params, opt_state, loss = jax.lax.cond(
+                rpl.size >= max(self.cfg.warmup_steps, dqn.batch_size),
+                learn, skip,
+                (ts.params, ts.target_params, ts.opt_state, rpl, k_sample),
+            )
+            # per-level episode / win tallies
+            eps_l = jax.ops.segment_sum(
+                res.done.astype(jnp.int32), level, num_segments=K
+            )
+            wins_l = jax.ops.segment_sum(
+                res.won.astype(jnp.int32), level, num_segments=K
+            )
+            new_ts = CurriculumState(
+                params, target_params, opt_state, rpl, next_env, key,
+                ts.global_step + 1,
+            )
+            return new_ts, (eps_l, wins_l, loss)
+
+        ts, (eps_l, wins_l, losses) = jax.lax.scan(
+            body, ts, None, length=n_steps
+        )
+        return ts, eps_l.sum(axis=0), wins_l.sum(axis=0), losses.mean()
+
+    def train(
+        self,
+        total_steps: int,
+        chunk: int = 500,
+        threshold: float = 0.7,
+        fraction: float = 0.5,
+        log_fn=print,
+    ) -> list[dict]:
+        history = []
+        done = 0
+        while done < total_steps:
+            n = min(chunk, total_steps - done)
+            lvl = jnp.asarray(self.level, jnp.int32)
+            self.state, eps_l, wins_l, loss = self._chunk(
+                self.state, self.bank, lvl, n_steps=n
+            )
+            jax.block_until_ready(self.state.params)
+            done += n
+            eps_np = np.asarray(eps_l)
+            wins_np = np.asarray(wins_l)
+            win_rate = wins_np / np.maximum(eps_np, 1)
+            self.level = cur_lib.promote_levels(
+                self.level, win_rate, self.n_levels,
+                threshold=threshold, fraction=fraction, rng=self._rng,
+            )
+            dist = np.bincount(self.level, minlength=self.n_levels)
+            row = {
+                "step": done,
+                "loss": float(loss),
+                "win_rate_per_level": [round(float(w), 3) for w in win_rate],
+                "level_distribution": dist.tolist(),
+            }
+            history.append(row)
+            if log_fn:
+                log_fn(
+                    f"[{done:>6}] loss={row['loss']:.4f} "
+                    f"wr={row['win_rate_per_level']} dist={row['level_distribution']}"
+                )
+        return history
