@@ -1,6 +1,5 @@
 """User-facing Tetris class: reference API surface + behavior."""
 
-import numpy as np
 import pytest
 
 from tetris_piclim_tpu.env_api import Tetris

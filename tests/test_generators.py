@@ -5,7 +5,6 @@ import random
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tetris_piclim_tpu import engine
 from tetris_piclim_tpu.gen import (

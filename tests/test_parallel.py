@@ -3,17 +3,11 @@
 import sys
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from tetris_piclim_tpu.dqn.train import DQNTrainer
-from tetris_piclim_tpu.parallel import (
-    make_mesh,
-    replicate,
-    shard_bank,
-    shard_train_state,
-)
+from tetris_piclim_tpu.parallel import make_mesh, shard_bank, shard_train_state
 from tetris_piclim_tpu.utils.config import DQNConfig, EnvConfig, TrainConfig
 
 

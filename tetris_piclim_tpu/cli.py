@@ -12,7 +12,6 @@ Usage: ``python -m tetris_piclim_tpu.cli <command> [flags]``.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 

@@ -10,7 +10,6 @@ The level array is an ordinary jit argument, so promotion never recompiles.
 
 from __future__ import annotations
 
-import time
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -20,7 +19,7 @@ import numpy as np
 from ..gen import curriculum as cur_lib
 from ..models.qnet import ACTION_DIM, QNetwork
 from ..ops import bitboard
-from ..utils.config import DQNConfig, EnvConfig, TrainConfig
+from ..utils.config import TrainConfig
 from . import agent as agent_lib
 from . import replay as replay_lib
 

@@ -21,7 +21,6 @@ property (game/main.py:49-57) and is tested against OUR jitted engine.
 from __future__ import annotations
 
 import random as _random_module
-from typing import Optional
 
 import numpy as np
 

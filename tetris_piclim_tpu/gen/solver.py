@@ -31,7 +31,7 @@ from collections import deque
 
 import numpy as np
 
-from ..tables import BOARD_H, BOARD_W, GEN_SHAPES
+from ..tables import GEN_SHAPES
 
 
 class GreedyDFSSolver:

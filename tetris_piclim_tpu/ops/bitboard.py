@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tables
-from ..engine import LOSS, OBS_DIM, RUNNING, WIN, StepResult
+from ..engine import LOSS, RUNNING, WIN, StepResult
 
 H, W = tables.BOARD_H, tables.BOARD_W
 _FULL20 = np.uint32((1 << H) - 1)

@@ -11,7 +11,6 @@ resume exactly where it stopped.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import numpy as np
