@@ -238,33 +238,6 @@ def reset_from_bank(
     return make_state(bank_boards[index], bank_pieces[index], lines_goal, move_limit)
 
 
-def _tree_select(pred, a, b):
-    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
-
-
-def step_autoreset(
-    state: EnvState,
-    rotations: jax.Array,
-    location: jax.Array,
-    bank_boards: jax.Array,
-    bank_pieces: jax.Array,
-    key: jax.Array,
-) -> tuple[EnvState, StepResult]:
-    """Step one env; if it terminates, swap in a fresh config from the bank.
-
-    Returns (next_state_possibly_reset, result_of_the_step). The reported
-    ``StepResult`` reflects the transition *before* the reset so the RL side
-    sees correct terminal transitions.
-    """
-    res = step(state, rotations, location)
-    idx = jax.random.randint(key, (), 0, bank_boards.shape[0])
-    fresh = make_state(
-        bank_boards[idx], bank_pieces[idx], state.lines_goal, state.move_limit
-    )
-    next_state = _tree_select(res.done, fresh, res.state)
-    return next_state, res
-
-
 def step_autoreset_batch(
     states: EnvState,
     rotations: jax.Array,
@@ -303,6 +276,3 @@ def make_state_batch(boards, pieces, lines_goal, move_limit) -> EnvState:
     ml = jnp.broadcast_to(jnp.asarray(move_limit, jnp.int32), (n,))
     return jax.vmap(make_state)(boards, pieces, lg, ml)
 
-
-def num_rotations_np() -> np.ndarray:
-    return tables.NROT
