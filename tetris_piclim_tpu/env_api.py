@@ -84,13 +84,14 @@ class Tetris:
         self._stop: Optional[threading.Event] = None
         self._workers: list[threading.Thread] = []
         if self.warm_reset:
-            # bounded like the reference's Queue(maxsize=20), game/tetris.py:195
+            # bounded like the reference's Queue(maxsize=20), game/tetris.py:195;
+            # two producers mirroring the reference's pair of worker processes:
+            # a carving producer (game/tetris.py:473-479) and a forward
+            # generate+prove producer (game/tetris.py:482-488)
             self._queue = queue_mod.Queue(maxsize=20)
             self._stop = threading.Event()
-            for i in range(2):
-                th = threading.Thread(
-                    target=self._warm_worker, args=(i,), daemon=True
-                )
+            for target in (self._warm_worker, self._forward_worker):
+                th = threading.Thread(target=target, args=(0,), daemon=True)
                 th.start()
                 self._workers.append(th)
 
@@ -110,6 +111,36 @@ class Tetris:
                     break
                 except queue_mod.Full:
                     continue
+
+    def _forward_worker(self, tid: int) -> None:
+        """Forward generate+prove producer (reference forward_warm_reset_worker,
+        game/tetris.py:482-488): batches of solver-proven configs. In parity
+        mode the seed window is pinned to 0..100 forever and a random first
+        piece is prepended (reference quirks, SURVEY.md §3.5); otherwise the
+        seed window rotates and the sequence is kept intact."""
+        import random as _rnd
+
+        from .gen.pipeline import generate_batch, translate_batch
+
+        rng = _rnd.Random(9176 + tid)
+        seed = 0
+        while not self._stop.is_set():
+            games = generate_batch(
+                self.L, self.M, seed_start=seed, seed_end=seed + 100
+            )
+            if not self.parity:
+                seed += 100
+            for item in translate_batch(
+                games, self.M, rng=rng, parity=self.parity
+            ):
+                if self._stop.is_set():
+                    return
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(item, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        continue
 
     def load_warm_reset(self) -> None:
         if self.warm_reset:
