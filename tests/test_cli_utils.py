@@ -1,0 +1,68 @@
+"""CLI subcommands (in-process) + metrics/profiling utilities."""
+
+import json
+
+import numpy as np
+
+from tetris_piclim_tpu.cli import main as cli_main
+from tetris_piclim_tpu.utils.metrics import MetricsLogger
+from tetris_piclim_tpu.utils.profiling import SectionTimer
+
+
+def test_cli_play_solution(capsys):
+    rc = cli_main(["play", "-L", "2", "-M", "10", "--policy", "solution",
+                   "--seed", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["result"] == "win"
+    assert out["lines_cleared"] >= 2
+
+
+def test_cli_generate_carve(capsys):
+    rc = cli_main(["generate", "--family", "carve", "-L", "1", "-M", "8",
+                   "--count", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["generated"] == 5
+
+
+def test_cli_generate_forward(capsys):
+    rc = cli_main(["generate", "--family", "forward", "-L", "1", "-M", "10",
+                   "--seed-end", "10"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["attempted"] == 10
+    assert 0 < out["winnable"] <= 10
+
+
+def test_cli_train_smoke(capsys, tmp_path):
+    rc = cli_main([
+        "train", "--smoke", "--eval-episodes", "64",
+        "--checkpoint", str(tmp_path / "ck"),
+        "--log-file", str(tmp_path / "m.jsonl"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["unfinished"] == 0.0
+    assert (tmp_path / "m.jsonl").exists()
+
+
+def test_metrics_logger(tmp_path):
+    path = tmp_path / "log.jsonl"
+    with MetricsLogger(path=str(path), echo=False) as log:
+        log.log({"a": 1})
+        log.log({"a": 2, "b": "x"})
+    rows = [json.loads(l) for l in path.read_text().splitlines()]
+    assert [r["a"] for r in rows] == [1, 2]
+    assert all("t" in r for r in rows)
+
+
+def test_section_timer():
+    timer = SectionTimer()
+    with timer.section("gen"):
+        np.zeros(10)
+    with timer.section("gen"):
+        np.zeros(10)
+    s = timer.summary()
+    assert s["gen"]["count"] == 2
+    assert s["gen"]["total_s"] >= 0
