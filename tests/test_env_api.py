@@ -67,3 +67,40 @@ def test_context_manager():
     with Tetris(1, 5, warm_reset=True, seed=5) as t:
         t.move(0, 0)
     assert not t._workers
+
+
+def test_env_api_move_parity_vs_reference():
+    """The host-side single-env move must stay bit-exact vs the reference."""
+    import random
+    import numpy as np
+    from ref_loader import load_reference
+
+    ref = load_reference()
+    rng = random.Random(11)
+    for trial in range(10):
+        t_ours = Tetris(3, 12, warm_reset=False, seed=100 + trial)
+        board = t_ours.board.copy()
+        pieces = list(t_ours.pieces)
+
+        t_ref = ref.Tetris.__new__(ref.Tetris)
+        t_ref.L, t_ref.M = 3, 12
+        t_ref.warm_reset = False
+        t_ref.render = False
+        t_ref.debug = False
+        t_ref.lines_cleared = 0
+        t_ref.moves_used = 0
+        t_ref.state = None
+        t_ref.random_piece_generator = ref.RandomPieceGenerator()
+        t_ref.board = board.copy()
+        t_ref.pieces = list(pieces)
+
+        while t_ref.state is None and t_ref.pieces:
+            rot, loc = rng.randint(0, 5), rng.randint(0, 9)
+            t_ref.move(rot, loc)
+            t_ours.move(rot, loc)
+            np.testing.assert_array_equal(t_ours.board, t_ref.board)
+            assert t_ours.lines_cleared == t_ref.lines_cleared
+            assert t_ours.moves_used == t_ref.moves_used
+            assert t_ours.state == t_ref.state
+            assert t_ours.pieces == t_ref.pieces
+        t_ours.terminate()

@@ -17,10 +17,12 @@ with ``parity=True``):
 * ``get_state()`` at a terminal state clamps the next-piece index instead of
   raising IndexError (reference game/tetris.py:435-436 raises when fewer
   than two pieces remain). ``parity=True`` raises.
-* warm reset uses a background *thread* + carving generator instead of two
-  processes and a multiprocessing.Queue (reference game/tetris.py:190-214):
-  the numpy carve loop releases the GIL and the configs land in the same
-  bounded queue semantics (maxsize 20) without pickle/IPC overhead.
+* warm reset keeps the reference's two-producer-process design
+  (game/tetris.py:190-214) — one carving producer, one forward
+  generate+prove producer — over a bounded multiprocessing.Queue
+  (maxsize 20). Processes (not threads): the generators are GIL-bound
+  Python/numpy, so true parallelism needs separate interpreters, exactly
+  as the reference concluded.
 * rendering is ASCII by default (``render_frame``); pygame is used when
   available and ``render="pygame"``. As in the reference (game/tetris.py:
   181-182), enabling render disables warm reset.
@@ -28,22 +30,97 @@ with ``parity=True``):
 
 from __future__ import annotations
 
+import multiprocessing
 import queue as queue_mod
 import random
-import threading
 import time
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from . import engine
 from .gen.carver import CarvingGenerator
+from .tables import BOARD_H, BOARD_W, NROT, get_tetromino
 
-_jitted_step = jax.jit(engine.step)
+# Per-(piece, rotation) unpadded masks + int rtopo arrays, precomputed once —
+# the per-move table lookup is then two list indexes (the reference rebuilds
+# nothing either; its tables are module constants, game/tetris.py:23-57).
+_HOST_TET = [
+    [
+        (get_tetromino(p, r)[0], np.asarray(get_tetromino(p, r)[1], dtype=np.int64))
+        for r in range(int(NROT[p]))
+    ]
+    for p in range(7)
+]
 
-_STATUS_TO_REF = {0: None, 1: True, 2: False}
+
+def host_move(board, piece, rotations, location):
+    """One hard drop on a numpy board — exact reference ``move`` semantics
+    (game/tetris.py:354-433) minus the state bookkeeping. Returns
+    (topout, lines_cleared_delta, drop). Mutates ``board`` in place unless
+    the drop tops out.
+
+    The single-env interactive path runs on the HOST: a per-move device
+    round-trip costs ~2ms of dispatch, while this is a handful of numpy ops
+    (the batched device engine remains the training path)."""
+    rots = _HOST_TET[piece]
+    mask, rtopo = rots[rotations % len(rots)]
+    h, w = mask.shape
+    location = max(0, min(location, BOARD_W - w))
+    window = board[:, location : location + w]
+    has = window.any(axis=0)
+    first = window.argmax(axis=0)
+    topo = np.where(has, first, BOARD_H)
+    drop = int((topo - rtopo).min()) - 1
+    if drop < 0:
+        return True, 0, drop
+    board[drop : drop + h, location : location + w] |= mask
+    span = board[drop : drop + h]
+    full = span.all(axis=1)
+    k = int(full.sum())
+    if k:
+        keep = np.ones(BOARD_H, dtype=bool)
+        keep[drop : drop + h][full] = False
+        board[k:] = board[keep]
+        board[:k] = False
+    return False, k, drop
+
+
+def _carve_producer(queue, stop, L, M):
+    """Carving producer process (reference warm_reset_worker,
+    game/tetris.py:473-479)."""
+    rng = random.Random()
+    while not stop.is_set():
+        item = CarvingGenerator(L, M, rng=rng).generate()
+        while not stop.is_set():
+            try:
+                queue.put(item, timeout=0.2)
+                break
+            except queue_mod.Full:
+                continue
+
+
+def _forward_producer(queue, stop, L, M, parity):
+    """Forward generate+prove producer process (reference
+    forward_warm_reset_worker, game/tetris.py:482-488). Parity mode pins the
+    seed window to 0..100 forever and prepends a random first piece
+    (reference quirks, SURVEY.md §3.5)."""
+    from .gen.pipeline import generate_batch, translate_batch
+
+    rng = random.Random()
+    seed = 0
+    while not stop.is_set():
+        games = generate_batch(L, M, seed_start=seed, seed_end=seed + 100)
+        if not parity:
+            seed += 100
+        for item in translate_batch(games, M, rng=rng, parity=parity):
+            if stop.is_set():
+                return
+            while not stop.is_set():
+                try:
+                    queue.put(item, timeout=0.2)
+                    break
+                except queue_mod.Full:
+                    continue
 
 
 class Tetris:
@@ -80,67 +157,28 @@ class Tetris:
             if render == "pygame":
                 self._init_pygame()
 
-        self._queue: Optional[queue_mod.Queue] = None
-        self._stop: Optional[threading.Event] = None
-        self._workers: list[threading.Thread] = []
+        self._queue = None
+        self._stop = None
+        self._workers: list[multiprocessing.Process] = []
         if self.warm_reset:
             # bounded like the reference's Queue(maxsize=20), game/tetris.py:195;
-            # two producers mirroring the reference's pair of worker processes:
-            # a carving producer (game/tetris.py:473-479) and a forward
-            # generate+prove producer (game/tetris.py:482-488)
-            self._queue = queue_mod.Queue(maxsize=20)
-            self._stop = threading.Event()
-            for target in (self._warm_worker, self._forward_worker):
-                th = threading.Thread(target=target, args=(0,), daemon=True)
-                th.start()
-                self._workers.append(th)
+            # two producer PROCESSES mirroring the reference's pair
+            # (game/tetris.py:202-211): carving + forward generate+prove
+            self._queue = multiprocessing.Queue(maxsize=20)
+            self._stop = multiprocessing.Event()
+            specs = [
+                (_carve_producer, (self._queue, self._stop, L, M)),
+                (_forward_producer, (self._queue, self._stop, L, M, parity)),
+            ]
+            for target, args in specs:
+                proc = multiprocessing.Process(
+                    target=target, args=args, daemon=True
+                )
+                proc.start()
+                self._workers.append(proc)
 
-        self._state: Optional[engine.EnvState] = None
+        self._board = np.zeros((BOARD_H, BOARD_W), dtype=bool)
         self.load_warm_reset()
-
-    # -- warm reset ----------------------------------------------------------
-
-    def _warm_worker(self, tid: int) -> None:
-        rng = random.Random((tid + 1) * 7919 + int(time.time() * 1e6) % 100003)
-        while not self._stop.is_set():
-            gen = CarvingGenerator(self.L, self.M, rng=rng)
-            item = gen.generate()
-            while not self._stop.is_set():
-                try:
-                    self._queue.put(item, timeout=0.2)
-                    break
-                except queue_mod.Full:
-                    continue
-
-    def _forward_worker(self, tid: int) -> None:
-        """Forward generate+prove producer (reference forward_warm_reset_worker,
-        game/tetris.py:482-488): batches of solver-proven configs. In parity
-        mode the seed window is pinned to 0..100 forever and a random first
-        piece is prepended (reference quirks, SURVEY.md §3.5); otherwise the
-        seed window rotates and the sequence is kept intact."""
-        import random as _rnd
-
-        from .gen.pipeline import generate_batch, translate_batch
-
-        rng = _rnd.Random(9176 + tid)
-        seed = 0
-        while not self._stop.is_set():
-            games = generate_batch(
-                self.L, self.M, seed_start=seed, seed_end=seed + 100
-            )
-            if not self.parity:
-                seed += 100
-            for item in translate_batch(
-                games, self.M, rng=rng, parity=self.parity
-            ):
-                if self._stop.is_set():
-                    return
-                while not self._stop.is_set():
-                    try:
-                        self._queue.put(item, timeout=0.2)
-                        break
-                    except queue_mod.Full:
-                        continue
 
     def load_warm_reset(self) -> None:
         if self.warm_reset:
@@ -156,19 +194,10 @@ class Tetris:
                     self.L, self.M, rng=self._rng
                 ).generate()
         self._pieces_full = list(pieces)
-        self._state = engine.make_state(
-            np.asarray(board, dtype=bool), np.array(pieces), self.L, self.M
-        )
-        if self.parity:
-            # reference reset() carries counters over (game/tetris.py:438-443)
-            self._state = self._state._replace(
-                lines_cleared=jnp.int32(self.lines_cleared),
-                moves_used=jnp.int32(self.moves_used),
-                status=jnp.int8(
-                    0 if self.state is None else (1 if self.state else 2)
-                ),
-            )
-        else:
+        self._board = np.array(board, dtype=bool)
+        self._cursor = 0
+        if not self.parity:
+            # reference reset() forgets to zero these (game/tetris.py:438-443)
             self.lines_cleared = 0
             self.moves_used = 0
             self.state = None
@@ -177,20 +206,30 @@ class Tetris:
 
     @property
     def board(self) -> np.ndarray:
-        return np.asarray(self._state.board)
+        return self._board
 
     @property
     def pieces(self) -> list[int]:
-        return [int(p) for p in self._pieces_full[int(self._state.cursor):]]
+        return [int(p) for p in self._pieces_full[self._cursor:]]
 
     def move(self, rotations: int, location: int) -> None:
-        res = _jitted_step(
-            self._state, jnp.int32(rotations), jnp.int32(location)
-        )
-        self._state = res.state
-        self.lines_cleared = int(res.state.lines_cleared)
-        self.moves_used = int(res.state.moves_used)
-        self.state = _STATUS_TO_REF[int(res.state.status)]
+        """Reference ``move`` semantics (game/tetris.py:354-422), host-side."""
+        piece = int(self._pieces_full[self._cursor])
+        self._cursor += 1  # piece consumed before any check (tetris.py:356)
+        topout, k, _ = host_move(self._board, piece, rotations, location)
+        if topout:
+            self.state = False
+        else:
+            self.moves_used += 1
+            if k == 0:
+                if self.moves_used >= self.M:
+                    self.state = False
+            else:
+                self.lines_cleared += k
+                if self.lines_cleared >= self.L:
+                    self.state = True
+                elif self.moves_used >= self.M:
+                    self.state = False
         if self.render:
             self.render_frame(self.board)
 
@@ -218,15 +257,18 @@ class Tetris:
     def terminate(self) -> None:
         if self.warm_reset and self._stop is not None:
             self._stop.set()
-            # drain so producers blocked on put() can exit
+            # drain so producers blocked on put() can exit, then join
             # (reference protocol, game/tetris.py:451-466)
             try:
                 while True:
                     self._queue.get_nowait()
             except queue_mod.Empty:
                 pass
-            for th in self._workers:
-                th.join(timeout=10)
+            self._queue.close()
+            for proc in self._workers:
+                proc.join(timeout=10)
+                if proc.is_alive():
+                    proc.terminate()
             self._workers.clear()
         if self._pygame is not None:
             self._pygame.quit()
