@@ -9,6 +9,7 @@ chip. Prints ONE JSON line. Baseline: the reference's single-core pure
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -87,11 +88,14 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     path = "pallas_fused"
-    try:
-        times = try_pallas(bank, bank_cols, states)
-    except Exception as e:
-        print(f"# pallas path unavailable: {e!r:.200}", file=sys.stderr)
+    if os.environ.get("BENCH_FORCE_SCAN"):
         times = None
+    else:
+        try:
+            times = try_pallas(bank, bank_cols, states)
+        except Exception as e:
+            print(f"# pallas path unavailable: {e!r:.200}", file=sys.stderr)
+            times = None
     compile_s = time.time() - t0
 
     if times is None:
