@@ -136,3 +136,39 @@ def test_learning_improves_win_rate():
     after = tr.evaluate(n_episodes=512)["win_rate"]
     assert after > before + 0.1, f"no learning: {before:.3f} -> {after:.3f}"
     assert after > 0.15
+
+
+def test_conv_qnetwork_forward_and_trains():
+    from tetris_piclim_tpu.models.convnet import ConvQNetwork
+    from tetris_piclim_tpu.dqn.train import DQNTrainer
+
+    net = ConvQNetwork()
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, OBS_DIM)))
+    q = net.apply(params, jnp.zeros((5, OBS_DIM)))
+    assert q.shape == (5, 14)
+
+    cfg = TrainConfig(
+        env=EnvConfig(L=1, M=6),
+        dqn=DQNConfig(batch_size=32),
+        num_envs=16, bank_capacity=16, replay_capacity=256,
+        warmup_steps=32, total_steps=20, log_every=10, seed=0,
+    )
+    tr = DQNTrainer(cfg, net=net)
+    out = tr.train(log_fn=None)
+    assert np.isfinite(out["history"][-1]["loss"])
+
+
+def test_array_backend_trainer_smoke():
+    from tetris_piclim_tpu.dqn.train import DQNTrainer
+
+    cfg = TrainConfig(
+        env=EnvConfig(L=1, M=6),
+        dqn=DQNConfig(batch_size=32),
+        num_envs=16, bank_capacity=16, replay_capacity=256,
+        warmup_steps=32, total_steps=20, log_every=10, seed=0,
+    )
+    tr = DQNTrainer(cfg, backend="array")
+    out = tr.train(log_fn=None)
+    assert np.isfinite(out["history"][-1]["loss"])
+    ev = tr.evaluate(n_episodes=32)
+    assert ev["unfinished"] == 0.0

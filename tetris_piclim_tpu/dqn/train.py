@@ -55,9 +55,12 @@ class DQNTrainer:
         cfg: TrainConfig,
         bank: Optional[ConfigBank] = None,
         backend: str = "bitboard",
+        net=None,
     ):
         self.cfg = cfg
-        self.net = QNetwork(action_dim=ACTION_DIM)
+        # any flax module with apply(params, obs[N, 217]) -> q[N, 14] works
+        # (e.g. models.convnet.ConvQNetwork)
+        self.net = net if net is not None else QNetwork(action_dim=ACTION_DIM)
         self.apply_fn = self.net.apply
         # "bitboard" = packed uint32 production path; "array" = the readable
         # parity-reference engine. Both expose the same batched API.

@@ -1,0 +1,46 @@
+"""Convolutional Q-network variant (extension beyond the reference).
+
+The reference declares only the 5-layer MLP (model/model.py:9-13). The board
+half of the observation is spatial, so a small conv torso is the natural
+second model family: Conv(3x3) stacks over the 20x10 board, concatenated
+with the 17 scalar/one-hot features, then the same factored 14-way head.
+
+Channel counts are kept lane-friendly (multiples of 8/16) so XLA tiles the
+convs onto the MXU via implicit GEMM. Drop-in replacement for
+``QNetwork`` anywhere an ``apply(params, obs[N, 217])`` is expected
+(``DQNTrainer(..., net=ConvQNetwork())`` via the ``net`` attribute or
+manual wiring).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..engine import OBS_DIM
+from ..models.qnet import ACTION_DIM
+
+
+class ConvQNetwork(nn.Module):
+    """Conv torso over the 20x10 board + MLP over aux features."""
+
+    channels: Sequence[int] = (32, 64)
+    hidden: int = 128
+    action_dim: int = ACTION_DIM
+
+    @nn.compact
+    def __call__(self, obs: jax.Array) -> jax.Array:
+        assert obs.shape[-1] == OBS_DIM
+        board = obs[..., :200].reshape(obs.shape[:-1] + (20, 10, 1))
+        aux = obs[..., 200:]
+        x = board
+        for ch in self.channels:
+            x = nn.relu(nn.Conv(ch, (3, 3), padding="SAME")(x))
+        x = x.reshape(obs.shape[:-1] + (-1,))
+        x = jnp.concatenate([x, aux], axis=-1)
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        return nn.Dense(self.action_dim)(x)
