@@ -1,0 +1,58 @@
+"""Render learning curves from training logs to results/curves.png."""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+PAT = re.compile(
+    r"\[\s*(\d+)\] env_steps=(\S+) win_rate=(\S+) loss=(\S+) eps=(\S+) sps=(\S+)"
+)
+
+
+def parse(path):
+    steps, wr = [], []
+    for line in open(path):
+        m = PAT.match(line)
+        if m:
+            steps.append(float(m.group(2)))
+            wr.append(float(m.group(3)))
+    return steps, wr
+
+
+def main(out="results/curves.png"):
+    runs = [
+        ("results/train_L2M20_flagship.log", "L=2 M=20 (flagship)", "tab:blue"),
+        ("results/train_L2M20_v2.log", "L=2 M=20 (seed 0, 100k)", "tab:cyan"),
+        ("results/train_L2M20_seed1.log", "L=2 M=20 (seed 1, 100k)", "tab:green"),
+        ("results/train_L3M20.log", "L=3 M=20", "tab:orange"),
+        ("results/train_L5M25.log", "L=5 M=25", "tab:red"),
+    ]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for path, label, color in runs:
+        try:
+            steps, wr = parse(path)
+        except FileNotFoundError:
+            continue
+        if steps:
+            ax.plot(steps, wr, label=label, color=color)
+    ax.axhline(0.026, ls="--", lw=1, color="gray",
+               label="random policy (L=2 M=20)")
+    ax.set_xscale("log")
+    ax.set_xlabel("environment steps")
+    ax.set_ylabel("training win rate")
+    ax.set_title("Tetris-piclim DQN on one TPU v5e chip")
+    ax.legend(loc="upper left", fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
