@@ -154,3 +154,32 @@ def test_preexisting_full_rows_survive():
     assert t.board[19].all() and np.asarray(s.board)[19].all()
     np.testing.assert_array_equal(np.asarray(s.board), t.board)
     assert t.lines_cleared == 0 and int(s.lines_cleared) == 0
+
+
+def test_deep_parity_fuzz():
+    """Long-haul fuzz: 40 episodes across mixed (L, M) and densities —
+    every transition bit-exact vs the reference."""
+    rng = np.random.default_rng(99)
+    pyrng = random.Random(99)
+    jstep = jax.jit(engine.step)
+    transitions = 0
+    for trial in range(40):
+        L = pyrng.randint(1, 10)
+        M = pyrng.randint(max(L, 2), 30)
+        density = rng.uniform(0.0, 0.7)
+        board = rng.random((20, 10)) < density
+        board[: pyrng.randint(1, 5)] = False
+        pieces = [pyrng.randint(0, 6) for _ in range(M + 1)]
+        t = make_ref_env(L, M, board, pieces)
+        s = engine.make_state(board, np.array(pieces), L, M)
+        while t.state is None and t.pieces:
+            rot = pyrng.randint(0, 7)
+            loc = pyrng.randint(0, 9)
+            t.move(rot, loc)
+            s, *_ = jstep(s, jnp.int32(rot), jnp.int32(loc))
+            transitions += 1
+            np.testing.assert_array_equal(np.asarray(s.board), t.board)
+            assert int(s.lines_cleared) == t.lines_cleared
+            assert int(s.moves_used) == t.moves_used
+            assert int(s.status) == STATUS_MAP[t.state]
+    assert transitions > 120
