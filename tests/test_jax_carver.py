@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
 from tetris_piclim_tpu.gen import jax_carver
 from tetris_piclim_tpu.gen.minimize import minimize_max_attempts
 from tetris_piclim_tpu.ops import bitboard
@@ -89,3 +90,34 @@ def test_minimize_max_attempts_parity():
     ]
     for case in cases:
         assert minimize_max_attempts(case) == ref_minimize(case)
+
+
+
+
+
+@pytest.mark.parametrize("L,M", [(1, 6), (6, 20), (12, 40)])
+def test_device_carver_range(L, M):
+    """Carver converges and yields winnable configs across the (L, M) range."""
+    n = 16
+    batch = jax.jit(
+        jax_carver.generate_batch_device, static_argnames=("n", "L", "M")
+    )(jax.random.PRNGKey(L * 100 + M), n=n, L=L, M=M)
+    assert int((batch.n_moves > 0).sum()) == n
+    states = bitboard.make_state_batch(batch.boards, batch.pieces, L, M)
+    jstep = jax.jit(bitboard.step)
+    n_mv = np.asarray(batch.n_moves)
+    rots, locs = np.asarray(batch.rotations), np.asarray(batch.locations)
+    for i in range(int(n_mv.max())):
+        active = i < n_mv
+        res = jstep(
+            states,
+            jnp.asarray(np.where(active, rots[:, i], 0), jnp.int32),
+            jnp.asarray(np.where(active, locs[:, i], 0), jnp.int32),
+        )
+        states = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.asarray(active).reshape((-1,) + (1,) * (a.ndim - 1)), b, a
+            ),
+            states, res.state,
+        )
+    assert (np.asarray(states.status) == 1).all()
