@@ -172,3 +172,26 @@ def test_array_backend_trainer_smoke():
     assert np.isfinite(out["history"][-1]["loss"])
     ev = tr.evaluate(n_episodes=32)
     assert ev["unfinished"] == 0.0
+
+
+def test_backends_train_identically():
+    """Same seed -> bit-identical training on the array and bitboard
+    backends: both use the same RNG streams and step-equivalent engines, so
+    the learned parameters must match exactly."""
+    from tetris_piclim_tpu.dqn.train import DQNTrainer
+
+    def run(backend):
+        cfg = TrainConfig(
+            env=EnvConfig(L=1, M=6),
+            dqn=DQNConfig(batch_size=32),
+            num_envs=16, bank_capacity=16, replay_capacity=256,
+            warmup_steps=32, total_steps=30, log_every=30, seed=3,
+        )
+        tr = DQNTrainer(cfg, backend=backend)
+        tr.train(log_fn=None)
+        return tr.state.params
+
+    p_bit = run("bitboard")
+    p_arr = run("array")
+    for a, b in zip(jax.tree.leaves(p_bit), jax.tree.leaves(p_arr)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
