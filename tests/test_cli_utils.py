@@ -66,3 +66,26 @@ def test_section_timer():
     s = timer.summary()
     assert s["gen"]["count"] == 2
     assert s["gen"]["total_s"] >= 0
+
+
+def test_device_trace_writes_artifacts(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from tetris_piclim_tpu.utils.profiling import device_trace
+
+    logdir = tmp_path / "trace"
+    with device_trace(str(logdir)):
+        x = jax.jit(lambda a: a * 2)(jnp.arange(16.0))
+        jax.block_until_ready(x)
+    files = list(logdir.rglob("*"))
+    assert files, "no profiler artifacts written"
+
+
+def test_cli_train_conv_smoke(capsys, tmp_path):
+    from tetris_piclim_tpu.cli import main as cli_main
+
+    rc = cli_main(["train", "--smoke", "--model", "conv",
+                   "--eval-episodes", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["unfinished"] == 0.0

@@ -56,7 +56,12 @@ def cmd_train(args) -> int:
         bank = ConfigBank(
             cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
         ).fill_device()
-    trainer = DQNTrainer(cfg, bank=bank, backend=args.backend)
+    net = None
+    if args.model == "conv":
+        from .models.convnet import ConvQNetwork
+
+        net = ConvQNetwork()
+    trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
     logger = MetricsLogger(path=args.log_file)
 
     from .utils.profiling import device_trace
@@ -226,6 +231,10 @@ def main(argv=None) -> int:
         help="fill the config bank on-device with the JAX carver",
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
+    p.add_argument(
+        "--model", choices=["mlp", "conv"], default="mlp",
+        help="mlp = reference-declared 4x128 MLP; conv = conv-torso variant",
+    )
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser(
