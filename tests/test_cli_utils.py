@@ -81,7 +81,13 @@ def test_device_trace_writes_artifacts(tmp_path):
     assert files, "no profiler artifacts written"
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_cli_train_conv_smoke(capsys, tmp_path):
+    # conv forward on CPU is slow; the conv training path itself is covered
+    # by the fast test_dqn.py::test_conv_qnetwork_forward_and_trains
     from tetris_piclim_tpu.cli import main as cli_main
 
     rc = cli_main(["train", "--smoke", "--model", "conv",
