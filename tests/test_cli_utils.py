@@ -79,19 +79,3 @@ def test_device_trace_writes_artifacts(tmp_path):
         jax.block_until_ready(x)
     files = list(logdir.rglob("*"))
     assert files, "no profiler artifacts written"
-
-
-import pytest
-
-
-@pytest.mark.slow
-def test_cli_train_conv_smoke(capsys, tmp_path):
-    # conv forward on CPU is slow; the conv training path itself is covered
-    # by the fast test_dqn.py::test_conv_qnetwork_forward_and_trains
-    from tetris_piclim_tpu.cli import main as cli_main
-
-    rc = cli_main(["train", "--smoke", "--model", "conv",
-                   "--eval-episodes", "32"])
-    assert rc == 0
-    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["unfinished"] == 0.0
