@@ -183,3 +183,35 @@ def test_deep_parity_fuzz():
             assert int(s.moves_used) == t.moves_used
             assert int(s.status) == STATUS_MAP[t.state]
     assert transitions > 120
+
+
+def test_exhaustive_action_sweep():
+    """Systematic (not sampled) sweep: every (piece, rotation 0-3, column
+    0-9) against the reference on three canonical boards — 840 transitions
+    per board shape, all bit-exact."""
+    boards = []
+    empty = np.zeros((20, 10), dtype=bool)
+    boards.append(empty)
+    staircase = np.zeros((20, 10), dtype=bool)
+    for c in range(10):
+        staircase[19 - c:, c] = True  # ascending staircase
+    boards.append(staircase)
+    wells = np.zeros((20, 10), dtype=bool)
+    wells[12:, ::2] = True  # alternating columns filled from row 12
+    boards.append(wells)
+
+    jstep = jax.jit(engine.step)
+    for base in boards:
+        for piece in range(7):
+            for rot in range(4):
+                for loc in range(10):
+                    t = make_ref_env(1, 2, base, [piece, 0, 0])
+                    s = engine.make_state(base, np.array([piece, 0, 0]), 1, 2)
+                    t.move(rot, loc)
+                    s, *_ = jstep(s, jnp.int32(rot), jnp.int32(loc))
+                    np.testing.assert_array_equal(
+                        np.asarray(s.board), t.board,
+                        err_msg=f"piece={piece} rot={rot} loc={loc}",
+                    )
+                    assert int(s.status) == STATUS_MAP[t.state]
+                    assert int(s.lines_cleared) == t.lines_cleared
