@@ -43,6 +43,7 @@ def cmd_train(args) -> int:
             warmup_steps=args.warmup,
             total_steps=args.steps,
             log_every=args.log_every,
+            updates_per_step=args.updates,
             seed=args.seed,
         )
     if args.config:
@@ -215,6 +216,8 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", type=int, default=1000)
     p.add_argument("--steps", type=int, default=100_000)
     p.add_argument("--log-every", type=int, default=1000)
+    p.add_argument("--updates", type=int, default=1,
+                   help="learner updates per env step (replay ratio knob)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-episodes", type=int, default=1024)
     p.add_argument("--config", help="TrainConfig JSON file")

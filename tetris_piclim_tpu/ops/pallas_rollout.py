@@ -72,8 +72,8 @@ def _kernel(
     seed_ref, cols_ref, pieces_ref, cursor_ref, lines_ref, moves_ref,
     status_ref, lg_ref, ml_ref, bank_cols_ref, bank_pieces_ref,
     colmask_ref, rtopo_ref, width_ref, height_ref, nrot_ref,
-    out_cols_ref, out_cursor_ref, out_lines_ref, out_moves_ref,
-    out_status_ref, out_stats_ref,
+    out_cols_ref, out_pieces_ref, out_cursor_ref, out_lines_ref,
+    out_moves_ref, out_status_ref, out_stats_ref,
     *, n_steps: int, tile: int, bank: int, pieces_len: int,
 ):
     from jax.experimental import pallas as pl
@@ -217,6 +217,7 @@ def _kernel(
         jax.lax.fori_loop(0, n_steps, body, init)
     )
     out_cols_ref[:] = cols
+    out_pieces_ref[:] = pieces_f.astype(jnp.int32)
     out_cursor_ref[:, 0] = cursor
     out_lines_ref[:, 0] = lines
     out_moves_ref[:, 0] = moves
@@ -279,11 +280,13 @@ def rollout_fused(
         ],
         out_specs=[
             row_spec(10),
+            row_spec(pieces_len),
             row_spec(1), row_spec(1), row_spec(1), row_spec(1),
             row_spec(1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 10), jnp.uint32),
+            jax.ShapeDtypeStruct((n, pieces_len), jnp.int32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
@@ -302,13 +305,13 @@ def rollout_fused(
         jnp.asarray(_COLMASK4), jnp.asarray(_RTOPO4),
         jnp.asarray(_WIDTH28), jnp.asarray(_HEIGHT28), jnp.asarray(_NROT7),
     )
-    cols, cursor, lines, moves, status, stats = out
+    cols, pieces_out, cursor, lines, moves, status, stats = out
     stats_t = stats.reshape(grid[0], tile)
     episodes = stats_t[:, 0]
     wins = stats_t[:, 1]
     new_state = bb.PackedState(
         cols=cols,
-        pieces=state.pieces,  # NOTE: reset swaps tracked only in-kernel
+        pieces=pieces_out.astype(jnp.int8),
         cursor=cursor[:, 0],
         lines_cleared=lines[:, 0],
         moves_used=moves[:, 0],
