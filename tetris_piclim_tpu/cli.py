@@ -36,7 +36,7 @@ def cmd_train(args) -> int:
     else:
         cfg = TrainConfig(
             env=EnvConfig(L=args.lines, M=args.moves),
-            dqn=DQNConfig(),
+            dqn=DQNConfig(n_step=args.n_step, prioritized=args.per),
             num_envs=args.num_envs,
             bank_capacity=args.bank,
             replay_capacity=args.replay,
@@ -105,7 +105,14 @@ def cmd_curriculum(args) -> int:
         threshold=args.threshold,
         log_fn=lambda m: print(m, file=sys.stderr),
     )
-    print(json.dumps(hist[-1]))
+    eval_rows = tr.evaluate_levels(episodes_per_level=args.eval_episodes)
+    for row in eval_rows:
+        print(
+            f"eval level {row['level']} (L={row['L']}, M={row['M']}): "
+            f"win_rate={row['win_rate']:.3f}",
+            file=sys.stderr,
+        )
+    print(json.dumps({"train": hist[-1], "eval_per_level": eval_rows}))
     return 0
 
 
@@ -218,6 +225,10 @@ def main(argv=None) -> int:
     p.add_argument("--log-every", type=int, default=1000)
     p.add_argument("--updates", type=int, default=1,
                    help="learner updates per env step (replay ratio knob)")
+    p.add_argument("--n-step", type=int, default=1,
+                   help="n-step returns (1 = reference-spec 1-step TD)")
+    p.add_argument("--per", action="store_true",
+                   help="prioritized replay (proportional, with IS weights)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-episodes", type=int, default=1024)
     p.add_argument("--config", help="TrainConfig JSON file")
@@ -255,6 +266,8 @@ def main(argv=None) -> int:
     p.add_argument("--chunk", type=int, default=1000)
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-episodes", type=int, default=256,
+                   help="final greedy evaluation episodes per level")
     p.set_defaults(fn=cmd_curriculum)
 
     p = sub.add_parser("eval", help="greedy-policy win rate")

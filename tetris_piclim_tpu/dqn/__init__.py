@@ -10,8 +10,21 @@ resident ring replay buffer, jitted TD update. One fused jit per training
 chunk; the host only logs and refreshes the config bank.
 """
 
-from .replay import ReplayState, replay_init, replay_add, replay_sample
-from .agent import select_actions, td_loss, make_optimizer, eps_schedule
+from .replay import (
+    ReplayState,
+    replay_init,
+    replay_add,
+    replay_sample,
+    replay_sample_ext,
+    replay_update_priority,
+)
+from .agent import (
+    select_actions,
+    td_loss,
+    make_optimizer,
+    eps_schedule,
+    learner_update,
+)
 from .train import DQNTrainer, TrainState
 
 __all__ = [
@@ -19,10 +32,13 @@ __all__ = [
     "replay_init",
     "replay_add",
     "replay_sample",
+    "replay_sample_ext",
+    "replay_update_priority",
     "select_actions",
     "td_loss",
     "make_optimizer",
     "eps_schedule",
+    "learner_update",
     "DQNTrainer",
     "TrainState",
 ]

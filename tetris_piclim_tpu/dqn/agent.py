@@ -15,6 +15,7 @@ import optax
 
 from ..models.qnet import NUM_COL, NUM_ROT, FactoredQ
 from ..utils.config import DQNConfig
+from . import replay as replay_lib
 from .replay import Batch
 
 
@@ -71,13 +72,20 @@ def td_loss(
         next_val = FactoredQ.max_value(q_next_target)
 
     next_val = jax.lax.stop_gradient(next_val)
-    target = batch.reward + cfg.gamma * (1.0 - batch.done.astype(jnp.float32)) * next_val
+    # discount is gamma for 1-step batches, gamma^(k*+1) for n-step batches
+    # (see replay.replay_sample_ext)
+    disc = cfg.gamma if batch.discount is None else batch.discount
+    target = batch.reward + disc * (1.0 - batch.done.astype(jnp.float32)) * next_val
     td = q_chosen - target
-    loss = jnp.mean(optax.losses.huber_loss(td, delta=cfg.huber_delta))
+    per_sample = optax.losses.huber_loss(td, delta=cfg.huber_delta)
+    if batch.weight is not None:
+        per_sample = batch.weight * per_sample
+    loss = jnp.mean(per_sample)
     aux = {
         "loss": loss,
         "q_mean": jnp.mean(q_chosen),
         "td_abs": jnp.mean(jnp.abs(td)),
+        "td_abs_per_sample": jax.lax.stop_gradient(jnp.abs(td)),
     }
     return loss, aux
 
@@ -91,6 +99,55 @@ def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_learning_rate(cfg.lr),
     )
+
+
+def learner_update(
+    params,
+    target_params,
+    opt_state,
+    rpl,
+    key: jax.Array,
+    *,
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    cfg: DQNConfig,
+    step_gap: int,
+):
+    """One replay-sampled TD update + Polyak target step (jittable).
+
+    The single learner used by both trainers: sample (uniform or PER,
+    1-step or n-step per ``cfg``), compute the weighted Huber TD loss,
+    apply AdamW(amsgrad), soft-update the target, and — in PER mode —
+    write the new |td| priorities back into the buffer.
+
+    ``step_gap`` is the number of transitions written per env step
+    (num_envs): the ring stride between consecutive transitions of the
+    same env slot.
+
+    Returns ``(params, target_params, opt_state, rpl, aux)``.
+    """
+    batch, idx0 = replay_lib.replay_sample_ext(
+        rpl,
+        key,
+        cfg.batch_size,
+        gamma=cfg.gamma,
+        n_step=cfg.n_step,
+        step_gap=step_gap,
+        prioritized=cfg.prioritized,
+        alpha=cfg.per_alpha,
+        beta=cfg.per_beta,
+    )
+    (loss, aux), grads = jax.value_and_grad(td_loss, has_aux=True)(
+        params, target_params, apply_fn, batch, cfg
+    )
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = jax.tree.map(lambda p, u: p + u, params, updates)
+    target_params = polyak(target_params, params, cfg.tau)
+    if cfg.prioritized:
+        rpl = replay_lib.replay_update_priority(
+            rpl, idx0, aux["td_abs_per_sample"], cfg.per_eps
+        )
+    return params, target_params, opt_state, rpl, aux
 
 
 def polyak(target_params, params, tau: float):

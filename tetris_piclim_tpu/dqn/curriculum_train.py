@@ -10,6 +10,7 @@ The level array is an ordinary jit argument, so promotion never recompiles.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -78,18 +79,20 @@ class CurriculumTrainer:
 
         def learn(args):
             params, target_params, opt_state, rpl, k = args
-            batch = replay_lib.replay_sample(rpl, k, dqn.batch_size)
-            (loss, aux), grads = jax.value_and_grad(
-                agent_lib.td_loss, has_aux=True
-            )(params, target_params, self.apply_fn, batch, dqn)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            target_params = agent_lib.polyak(target_params, params, dqn.tau)
-            return params, target_params, opt_state, aux["loss"]
+            params, target_params, opt_state, rpl, aux = (
+                agent_lib.learner_update(
+                    params, target_params, opt_state, rpl, k,
+                    apply_fn=self.apply_fn,
+                    optimizer=self.optimizer,
+                    cfg=dqn,
+                    step_gap=self.cfg.num_envs,
+                )
+            )
+            return params, target_params, opt_state, rpl, aux["loss"]
 
         def skip(args):
-            params, target_params, opt_state, _, _ = args
-            return params, target_params, opt_state, jnp.float32(0)
+            params, target_params, opt_state, rpl, _ = args
+            return params, target_params, opt_state, rpl, jnp.float32(0)
 
         def body(ts: CurriculumState, _):
             key, k_act, k_step, k_sample = jax.random.split(ts.key, 4)
@@ -110,8 +113,12 @@ class CurriculumTrainer:
             rpl = replay_lib.replay_add(
                 ts.replay, ts.env, rot, col, reward, res.state, res.done
             )
-            params, target_params, opt_state, loss = jax.lax.cond(
-                rpl.size >= max(self.cfg.warmup_steps, dqn.batch_size),
+            min_size = (
+                max(self.cfg.warmup_steps, dqn.batch_size)
+                + (dqn.n_step - 1) * self.cfg.num_envs
+            )
+            params, target_params, opt_state, rpl, loss = jax.lax.cond(
+                rpl.size >= min_size,
                 learn, skip,
                 (ts.params, ts.target_params, ts.opt_state, rpl, k_sample),
             )
@@ -132,6 +139,54 @@ class CurriculumTrainer:
             body, ts, None, length=n_steps
         )
         return ts, eps_l.sum(axis=0), wins_l.sum(axis=0), losses.mean()
+
+    def evaluate_levels(self, episodes_per_level: int = 256, key=None) -> list[dict]:
+        """Greedy-policy win rate measured separately at EVERY level (not
+        just the levels envs currently train on): each level gets
+        ``episodes_per_level`` fresh single-episode envs from its own bank,
+        rolled out frozen (no auto-reset) for max(M)+1 steps so every episode
+        terminates. Closes the train-time-win-rates-only gap."""
+        key = key if key is not None else jax.random.PRNGKey(1234)
+        max_m = max(m for (_, m) in self.levels)
+        out = []
+        for k_level in range(self.n_levels):
+            key, k_env = jax.random.split(key)
+            lvl = jnp.full((episodes_per_level,), k_level, jnp.int32)
+            env = cur_lib.make_states(self.bank, lvl, k_env)
+            final = self._eval_rollout(self.state.params, env, max_m + 1)
+            status = np.asarray(final.status)
+            out.append(
+                {
+                    "level": k_level,
+                    "L": self.levels[k_level][0],
+                    "M": self.levels[k_level][1],
+                    "episodes": episodes_per_level,
+                    "win_rate": float((status == 1).mean()),
+                    "loss_rate": float((status == 2).mean()),
+                }
+            )
+        return out
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _eval_rollout(self, params, env: bitboard.PackedState, n_steps: int):
+        def body(env, _):
+            obs = bitboard.observe_batch(env)
+            rot, col = agent_lib.select_actions(
+                self.apply_fn, params, obs,
+                jnp.float32(0.0), jax.random.PRNGKey(0),
+            )
+            res = bitboard.step(env, rot, col)
+            keep = env.status != 0
+            nxt = jax.tree.map(
+                lambda a, b: jnp.where(
+                    keep.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                env, res.state,
+            )
+            return nxt, None
+
+        env, _ = jax.lax.scan(body, env, None, length=n_steps)
+        return env
 
     def train(
         self,

@@ -50,6 +50,9 @@ class ReplayState(NamedTuple):
     n_lines_left: jax.Array  # int32[C]
     n_moves_left: jax.Array  # int32[C]
     n_status: jax.Array      # int8[C]
+    # prioritized-replay support (ignored when sampling uniformly)
+    priority: jax.Array    # f32[C]  — raw |td| + eps; alpha applied at sample
+    max_prio: jax.Array    # f32     — running max, assigned to fresh writes
     # ring bookkeeping
     pos: jax.Array         # int32
     size: jax.Array        # int32
@@ -62,6 +65,10 @@ class Batch(NamedTuple):
     reward: jax.Array
     next_obs: jax.Array
     done: jax.Array
+    # n-step / PER extras; None = 1-step uniform semantics (td_loss then uses
+    # cfg.gamma and unit weights)
+    discount: jax.Array | None = None  # f32[B] — gamma^(k*+1) per sample
+    weight: jax.Array | None = None    # f32[B] — importance-sampling weights
 
 
 def replay_init(capacity: int) -> ReplayState:
@@ -76,6 +83,8 @@ def replay_init(capacity: int) -> ReplayState:
         n_cols=jnp.zeros((capacity, 10), jnp.uint32),
         n_cur=z8, n_nxt=z8, n_lines_left=z32, n_moves_left=z32,
         n_status=z8,
+        priority=jnp.zeros((capacity,), jnp.float32),
+        max_prio=jnp.float32(1.0),
         pos=jnp.int32(0),
         size=jnp.int32(0),
     )
@@ -138,6 +147,8 @@ def replay_add(
         n_lines_left=put(r.n_lines_left, n_ll),
         n_moves_left=put(r.n_moves_left, n_ml),
         n_status=put(r.n_status, n_st),
+        priority=put(r.priority, jnp.full((n,), r.max_prio, jnp.float32)),
+        max_prio=r.max_prio,
         pos=jnp.mod(pos + n, cap),
         size=jnp.minimum(r.size + n, cap),
     )
@@ -189,4 +200,110 @@ def replay_sample(r: ReplayState, key: jax.Array, batch_size: int) -> Batch:
         reward=r.reward[idx],
         next_obs=next_obs,
         done=r.done[idx],
+    )
+
+
+def replay_sample_ext(
+    r: ReplayState,
+    key: jax.Array,
+    batch_size: int,
+    *,
+    gamma: float,
+    n_step: int = 1,
+    step_gap: int = 1,
+    prioritized: bool = False,
+    alpha: float = 0.6,
+    beta: float = 0.4,
+) -> tuple[Batch, jax.Array]:
+    """n-step / prioritized sampler. Returns ``(batch, base_indices)``; the
+    indices feed :func:`replay_update_priority` after the TD update.
+
+    Exploits the ring layout: writes are contiguous blocks of ``step_gap``
+    (= num_envs) transitions and capacity % step_gap == 0, so the *next*
+    transition of the same env slot always sits exactly ``step_gap`` slots
+    ahead (mod capacity). The n-step chain for base index ``i`` is therefore
+    the pure gather ``i, i+g, ..., i+(n-1)g`` — no per-env episode bookkeeping.
+    Returns are truncated at the first ``done`` in the chain (the auto-reset
+    successor belongs to a new episode); ``batch.discount`` carries
+    gamma^(k*+1) so the TD target bootstraps from the right horizon.
+
+    Base indices are restricted to transitions whose full chain has been
+    written (the newest ``(n-1)*step_gap`` logical slots are excluded).
+    Prioritized mode samples bases ∝ priority^alpha (Gumbel/categorical over
+    the masked buffer) and returns max-normalized importance weights
+    (Schaul et al. 2015 proportional variant).
+    """
+    cap = r.cols.shape[0]
+    n_step = int(n_step)
+    oldest = jnp.mod(r.pos - r.size, cap)
+    valid = jnp.maximum(r.size - (n_step - 1) * step_gap, 1)
+
+    if prioritized:
+        # logical age of each physical slot; mask slots without a full chain
+        logical = jnp.mod(jnp.arange(cap, dtype=jnp.int32) - oldest, cap)
+        ok = logical < valid
+        logp = alpha * jnp.log(jnp.maximum(r.priority, 1e-12))
+        logits = jnp.where(ok, logp, -jnp.inf)
+        idx0 = jax.random.categorical(key, logits, shape=(batch_size,)).astype(
+            jnp.int32
+        )
+        log_z = jax.nn.logsumexp(logits)
+        log_p_sel = (
+            alpha * jnp.log(jnp.maximum(r.priority[idx0], 1e-12)) - log_z
+        )
+        w = jnp.exp(-beta * (jnp.log(valid.astype(jnp.float32)) + log_p_sel))
+        weight = w / jnp.maximum(w.max(), 1e-12)
+    else:
+        j = jax.random.randint(key, (batch_size,), 0, valid)
+        idx0 = jnp.mod(oldest + j, cap).astype(jnp.int32)
+        weight = jnp.ones((batch_size,), jnp.float32)
+
+    ks = jnp.arange(n_step, dtype=jnp.int32)
+    idx = jnp.mod(idx0[:, None] + ks[None, :] * step_gap, cap)  # [B, n]
+    rew = r.reward[idx]
+    dn = r.done[idx]
+    # include transition k iff no done strictly before it in the chain
+    done_before = jnp.cumsum(dn, axis=1) - dn.astype(jnp.int32)
+    include = (done_before == 0).astype(jnp.float32)
+    gammas = jnp.float32(gamma) ** ks.astype(jnp.float32)
+    returns = jnp.sum(include * gammas[None, :] * rew, axis=1)
+
+    rows = jnp.arange(batch_size)
+    k_star = jnp.where(dn.any(axis=1), jnp.argmax(dn, axis=1), n_step - 1)
+    idx_last = idx[rows, k_star]
+    done_out = dn[rows, k_star]
+    discount = jnp.float32(gamma) ** (k_star.astype(jnp.float32) + 1.0)
+
+    running = jnp.zeros((batch_size,), jnp.int8)
+    obs = _obs_from_fields(
+        r.cols[idx0], r.cur[idx0], r.nxt[idx0],
+        r.lines_left[idx0], r.moves_left[idx0], running,
+    )
+    next_obs = _obs_from_fields(
+        r.n_cols[idx_last], r.n_cur[idx_last], r.n_nxt[idx_last],
+        r.n_lines_left[idx_last], r.n_moves_left[idx_last],
+        r.n_status[idx_last],
+    )
+    batch = Batch(
+        obs=obs,
+        rot=r.rot[idx0].astype(jnp.int32),
+        col=r.col[idx0].astype(jnp.int32),
+        reward=returns,
+        next_obs=next_obs,
+        done=done_out,
+        discount=discount,
+        weight=weight,
+    )
+    return batch, idx0
+
+
+def replay_update_priority(
+    r: ReplayState, idx: jax.Array, td_abs: jax.Array, eps: float
+) -> ReplayState:
+    """Write |td| + eps back at the sampled base indices (scatter; duplicate
+    indices keep the last write, as in reference PER implementations)."""
+    new_p = td_abs + jnp.float32(eps)
+    return r._replace(
+        priority=r.priority.at[idx].set(new_p),
+        max_prio=jnp.maximum(r.max_prio, new_p.max()),
     )

@@ -126,29 +126,32 @@ class DQNTrainer:
             params, target_params, opt_state, rpl, k = args
 
             def one_update(i, carry):
-                params, target_params, opt_state, _, _ = carry
+                params, target_params, opt_state, rpl, _, _ = carry
                 k_i = jax.random.fold_in(k, i)
-                batch = replay_lib.replay_sample(rpl, k_i, dqn.batch_size)
-                (loss, aux), grads = jax.value_and_grad(
-                    agent_lib.td_loss, has_aux=True
-                )(params, target_params, self.apply_fn, batch, dqn)
-                updates, opt_state = self.optimizer.update(
-                    grads, opt_state, params
+                params, target_params, opt_state, rpl, aux = (
+                    agent_lib.learner_update(
+                        params, target_params, opt_state, rpl, k_i,
+                        apply_fn=self.apply_fn,
+                        optimizer=self.optimizer,
+                        cfg=dqn,
+                        step_gap=self.cfg.num_envs,
+                    )
                 )
-                params = jax.tree.map(lambda p, u: p + u, params, updates)
-                target_params = agent_lib.polyak(target_params, params, dqn.tau)
-                return params, target_params, opt_state, aux["loss"], aux["q_mean"]
+                return (params, target_params, opt_state, rpl,
+                        aux["loss"], aux["q_mean"])
 
-            carry = (params, target_params, opt_state,
+            carry = (params, target_params, opt_state, rpl,
                      jnp.float32(0), jnp.float32(0))
-            params, target_params, opt_state, loss, q_mean = (
+            params, target_params, opt_state, rpl, loss, q_mean = (
                 jax.lax.fori_loop(0, n_upd, one_update, carry)
             )
-            return params, target_params, opt_state, loss, q_mean, jnp.int32(n_upd)
+            return (params, target_params, opt_state, rpl,
+                    loss, q_mean, jnp.int32(n_upd))
 
         def skip(args):
-            params, target_params, opt_state, _, _ = args
-            return params, target_params, opt_state, jnp.float32(0), jnp.float32(0), jnp.int32(0)
+            params, target_params, opt_state, rpl, _ = args
+            return (params, target_params, opt_state, rpl,
+                    jnp.float32(0), jnp.float32(0), jnp.int32(0))
 
         def body(ts: TrainState, _):
             key, k_act, k_step, k_sample = jax.random.split(ts.key, 4)
@@ -170,11 +173,19 @@ class DQNTrainer:
             rpl = replay_lib.replay_add(
                 ts.replay, s_before, rot, col, reward, s_after, res.done
             )
-            params, target_params, opt_state, loss, q_mean, did = jax.lax.cond(
-                rpl.size >= max(self.cfg.warmup_steps, dqn.batch_size),
-                learn,
-                skip,
-                (ts.params, ts.target_params, ts.opt_state, rpl, k_sample),
+            # learning starts once the warmup is met AND every sampled n-step
+            # chain can be fully resolved ((n-1)*num_envs newer transitions)
+            min_size = (
+                max(self.cfg.warmup_steps, dqn.batch_size)
+                + (dqn.n_step - 1) * self.cfg.num_envs
+            )
+            params, target_params, opt_state, rpl, loss, q_mean, did = (
+                jax.lax.cond(
+                    rpl.size >= min_size,
+                    learn,
+                    skip,
+                    (ts.params, ts.target_params, ts.opt_state, rpl, k_sample),
+                )
             )
             new_ts = TrainState(
                 params=params,

@@ -50,6 +50,13 @@ class DQNConfig:
     weight_decay: float = 1e-2  # torch AdamW default
     double_dqn: bool = True     # reduces overestimation; off → vanilla DQN
     huber_delta: float = 1.0
+    # extensions beyond the reference's declared algorithm (each default-off
+    # so the reference-spec hyperparameters above stand alone):
+    n_step: int = 1             # n-step returns (1 = the reference's 1-step TD)
+    prioritized: bool = False   # proportional prioritized replay (PER)
+    per_alpha: float = 0.6      # priority exponent
+    per_beta: float = 0.4       # importance-sampling exponent
+    per_eps: float = 1e-3       # priority floor added to |td|
 
 
 @dataclass(frozen=True)
