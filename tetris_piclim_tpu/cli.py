@@ -32,6 +32,8 @@ def cmd_train(args) -> int:
             env=EnvConfig(L=1, M=8),
             num_envs=64, bank_capacity=64, replay_capacity=8192,
             warmup_steps=256, total_steps=400, log_every=100, seed=args.seed,
+            checkpoint_dir=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
         )
     else:
         cfg = TrainConfig(
@@ -45,6 +47,8 @@ def cmd_train(args) -> int:
             log_every=args.log_every,
             updates_per_step=args.updates,
             seed=args.seed,
+            checkpoint_dir=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
         )
     if args.config:
         with open(args.config) as fh:
@@ -63,6 +67,13 @@ def cmd_train(args) -> int:
 
         net = ConvQNetwork()
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
+    if args.resume:
+        trainer.restore_checkpoint(args.resume)
+        print(
+            f"resumed from {args.resume} at step "
+            f"{int(trainer.state.global_step)}",
+            file=sys.stderr,
+        )
     logger = MetricsLogger(path=args.log_file)
 
     from .utils.profiling import device_trace
@@ -76,8 +87,12 @@ def cmd_train(args) -> int:
     logger.log({"final_eval": ev})
     print(json.dumps(ev))
     if args.checkpoint:
-        save_train_state(args.checkpoint, trainer.state)
-        print(f"checkpoint saved to {args.checkpoint}", file=sys.stderr)
+        # With periodic checkpointing the root dir holds step_<n> children,
+        # so the final state gets its own subdirectory.
+        final = (f"{args.checkpoint}/final" if args.checkpoint_every > 0
+                 else args.checkpoint)
+        save_train_state(final, trainer.state)
+        print(f"checkpoint saved to {final}", file=sys.stderr)
     logger.close()
     return 0
 
@@ -233,6 +248,11 @@ def main(argv=None) -> int:
     p.add_argument("--eval-episodes", type=int, default=1024)
     p.add_argument("--config", help="TrainConfig JSON file")
     p.add_argument("--checkpoint", help="save final TrainState here")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="also checkpoint every N outer steps into "
+                        "<checkpoint>/step_<n> (0 = final only)")
+    p.add_argument("--resume", help="restore a TrainState checkpoint and "
+                                    "continue training (same config shape)")
     p.add_argument("--log-file", help="JSONL metrics path")
     p.add_argument("--refresh-bank", action="store_true")
     p.add_argument("--smoke", action="store_true", help="tiny smoke run")

@@ -231,6 +231,7 @@ class DQNTrainer:
         chunk = max(1, min(cfg.log_every, total))
         done_steps = 0
         history = []
+        since_ckpt = 0  # periodic checkpointing (cfg.checkpoint_every > 0)
         if refresh_bank:
             self.bank.start_refresh()
         try:
@@ -267,10 +268,41 @@ class DQNTrainer:
                         f"win_rate={row['win_rate']:.3f} loss={row['loss']:.4f} "
                         f"eps={row['eps']:.3f} sps={row['steps_per_s']:.3e}"
                     )
+                since_ckpt += n
+                if (
+                    cfg.checkpoint_dir
+                    and cfg.checkpoint_every > 0
+                    and since_ckpt >= cfg.checkpoint_every
+                ):
+                    self.save_checkpoint()
+                    since_ckpt = 0
         finally:
             if refresh_bank:
                 self.bank.stop_refresh()
         return {"history": history}
+
+    # -- checkpoint / resume ---------------------------------------------------
+
+    def save_checkpoint(self, path: Optional[str] = None) -> str:
+        """Save the full TrainState (params, target, optimizer, replay, env
+        states, RNG, counters) under ``path`` or
+        ``cfg.checkpoint_dir/step_<global_step>``. The reference has no model
+        checkpointing at all (SURVEY.md §5.4)."""
+        from ..utils.checkpoint import save_train_state
+
+        if path is None:
+            if not self.cfg.checkpoint_dir:
+                raise ValueError("no path given and cfg.checkpoint_dir unset")
+            path = f"{self.cfg.checkpoint_dir}/step_{int(self.state.global_step)}"
+        save_train_state(path, self.state)
+        return path
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Resume from a checkpoint written by :meth:`save_checkpoint` with
+        an identical config shape (num_envs, replay_capacity, model)."""
+        from ..utils.checkpoint import restore_train_state
+
+        self.state = restore_train_state(path, self.state)
 
     # -- evaluation ----------------------------------------------------------
 

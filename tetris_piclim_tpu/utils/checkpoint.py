@@ -28,7 +28,7 @@ def save_train_state(path: str, state) -> None:
     path = os.path.abspath(path)
     if _HAS_ORBAX:
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.tree.map(np.asarray, state))
+        ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
         ckptr.wait_until_finished()
     else:  # minimal .npz fallback
         flat, treedef = jax.tree.flatten(state)
