@@ -30,6 +30,32 @@ def test_roundtrip_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_warm_start_params_only(tmp_path):
+    """Weights transfer to a trainer with a DIFFERENT task/config shape;
+    everything else (replay, env, counters) starts fresh."""
+    tr = DQNTrainer(_cfg())
+    tr.train(log_fn=None)
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, tr.state)
+
+    cfg2 = TrainConfig(
+        env=EnvConfig(L=2, M=8),          # harder task
+        dqn=DQNConfig(batch_size=32),
+        num_envs=8, bank_capacity=8, replay_capacity=128,   # different shapes
+        warmup_steps=16, total_steps=10, log_every=5, seed=1,
+    )
+    tr2 = DQNTrainer(cfg2)
+    tr2.warm_start(path)
+    for a, b in zip(
+        jax.tree.leaves(tr.state.params), jax.tree.leaves(tr2.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(tr2.state.global_step) == 0
+    assert int(tr2.state.replay.size) == 0
+    tr2.train(log_fn=None)  # trains from the warm-started weights
+    assert int(tr2.state.global_step) == 10
+
+
 def test_resume_continues_training(tmp_path):
     tr = DQNTrainer(_cfg())
     tr.train(log_fn=None)

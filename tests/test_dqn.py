@@ -195,3 +195,39 @@ def test_backends_train_identically():
     p_arr = run("array")
     for a, b in zip(jax.tree.leaves(p_bit), jax.tree.leaves(p_arr)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dueling_head_math_and_trains():
+    """dueling_combine preserves the additive factored-Q semantics: the
+    joint Q equals V + centered rot/col advantages, and the dueling nets
+    train end-to-end."""
+    from tetris_piclim_tpu.models.qnet import QNetwork, dueling_combine
+    from tetris_piclim_tpu.dqn.train import DQNTrainer
+
+    key = jax.random.PRNGKey(3)
+    v = jax.random.normal(key, (5, 1))
+    adv = jax.random.normal(jax.random.fold_in(key, 1), (5, 14))
+    q = dueling_combine(v, adv)
+    assert q.shape == (5, 14)
+    joint = FactoredQ.gather(q, jnp.zeros(5, jnp.int32), jnp.zeros(5, jnp.int32))
+    a_rot, a_col = adv[:, :4], adv[:, 4:]
+    expect = (
+        v[:, 0]
+        + a_rot[:, 0] - a_rot.mean(-1)
+        + a_col[:, 0] - a_col.mean(-1)
+    )
+    np.testing.assert_allclose(np.asarray(joint), np.asarray(expect), atol=1e-5)
+
+    net = QNetwork(dueling=True)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, OBS_DIM)))
+    assert net.apply(params, jnp.zeros((3, OBS_DIM))).shape == (3, 14)
+
+    cfg = TrainConfig(
+        env=EnvConfig(L=1, M=6),
+        dqn=DQNConfig(batch_size=32),
+        num_envs=16, bank_capacity=16, replay_capacity=256,
+        warmup_steps=32, total_steps=20, log_every=10, seed=0,
+    )
+    tr = DQNTrainer(cfg, net=net)
+    out = tr.train(log_fn=None)
+    assert np.isfinite(out["history"][-1]["loss"])

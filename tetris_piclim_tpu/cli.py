@@ -65,8 +65,15 @@ def cmd_train(args) -> int:
     if args.model == "conv":
         from .models.convnet import ConvQNetwork
 
-        net = ConvQNetwork()
+        net = ConvQNetwork(dueling=args.dueling)
+    elif args.dueling:
+        from .models.qnet import QNetwork
+
+        net = QNetwork(dueling=True)
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
+    if args.warm_start:
+        trainer.warm_start(args.warm_start)
+        print(f"warm-started weights from {args.warm_start}", file=sys.stderr)
     if args.resume:
         trainer.restore_checkpoint(args.resume)
         print(
@@ -253,6 +260,11 @@ def main(argv=None) -> int:
                         "<checkpoint>/step_<n> (0 = final only)")
     p.add_argument("--resume", help="restore a TrainState checkpoint and "
                                     "continue training (same config shape)")
+    p.add_argument("--warm-start", help="load ONLY network weights from a "
+                                        "checkpoint (curriculum transfer; "
+                                        "source task/config may differ)")
+    p.add_argument("--dueling", action="store_true",
+                   help="dueling value/advantage head (either model)")
     p.add_argument("--log-file", help="JSONL metrics path")
     p.add_argument("--refresh-bank", action="store_true")
     p.add_argument("--smoke", action="store_true", help="tiny smoke run")

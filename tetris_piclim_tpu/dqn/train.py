@@ -304,6 +304,19 @@ class DQNTrainer:
 
         self.state = restore_train_state(path, self.state)
 
+    def warm_start(self, path: str) -> None:
+        """Load ONLY network weights (params + target) from a checkpoint,
+        keeping fresh optimizer/replay/env/counters — curriculum transfer:
+        warm-start a harder (L, M) task from an easier task's weights. The
+        source run may differ in num_envs, replay capacity, and task; the
+        model architecture must match."""
+        from ..utils.checkpoint import restore_params
+
+        params, target_params = restore_params(path)
+        self.state = self.state._replace(
+            params=params, target_params=target_params
+        )
+
     # -- evaluation ----------------------------------------------------------
 
     def evaluate(self, n_episodes: int = 1024, key=None) -> dict:

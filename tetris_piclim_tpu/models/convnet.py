@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..engine import OBS_DIM
-from ..models.qnet import ACTION_DIM
+from ..models.qnet import ACTION_DIM, dueling_combine
 
 
 class ConvQNetwork(nn.Module):
@@ -30,6 +30,7 @@ class ConvQNetwork(nn.Module):
     channels: Sequence[int] = (32, 64)
     hidden: int = 128
     action_dim: int = ACTION_DIM
+    dueling: bool = False
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
@@ -43,4 +44,8 @@ class ConvQNetwork(nn.Module):
         x = jnp.concatenate([x, aux], axis=-1)
         x = nn.relu(nn.Dense(self.hidden)(x))
         x = nn.relu(nn.Dense(self.hidden)(x))
+        if self.dueling:
+            return dueling_combine(
+                nn.Dense(1)(x), nn.Dense(self.action_dim)(x)
+            )
         return nn.Dense(self.action_dim)(x)

@@ -40,16 +40,39 @@ NUM_COL = 10
 ACTION_DIM = NUM_ROT + NUM_COL  # 14, per reference model/train.py:26
 
 
+def dueling_combine(v: jax.Array, adv: jax.Array) -> jax.Array:
+    """Combine a state value ``v[..., 1]`` with branch advantages
+    ``adv[..., 14]`` into a factored Q (dueling networks, Wang et al. 2016,
+    adapted to the two-branch action space: each branch's advantages are
+    mean-centered and the value is split evenly across branches, so the
+    joint ``Q(s,(r,c)) = V(s) + Ar(s,r) - mean(Ar) + Ac(s,c) - mean(Ac)``
+    and :class:`FactoredQ`'s additive semantics are unchanged)."""
+    a_rot, a_col = adv[..., :NUM_ROT], adv[..., NUM_ROT:]
+    half_v = v * 0.5
+    a_rot = a_rot - jnp.mean(a_rot, axis=-1, keepdims=True) + half_v
+    a_col = a_col - jnp.mean(a_col, axis=-1, keepdims=True) + half_v
+    return jnp.concatenate([a_rot, a_col], axis=-1)
+
+
 class QNetwork(nn.Module):
-    """MLP 217 -> 4x128 -> action_dim (reference model/model.py:9-13)."""
+    """MLP 217 -> 4x128 -> action_dim (reference model/model.py:9-13).
+
+    ``dueling=True`` replaces the flat head with a value head + centered
+    advantage head (extension beyond the reference; default off keeps the
+    declared architecture literal)."""
 
     hidden: Sequence[int] = (128, 128, 128, 128)
     action_dim: int = ACTION_DIM
+    dueling: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for width in self.hidden:
             x = nn.relu(nn.Dense(width)(x))
+        if self.dueling:
+            return dueling_combine(
+                nn.Dense(1)(x), nn.Dense(self.action_dim)(x)
+            )
         return nn.Dense(self.action_dim)(x)
 
 

@@ -39,6 +39,23 @@ def save_train_state(path: str, state) -> None:
         )
 
 
+def restore_params(path: str) -> tuple:
+    """Load ONLY the network parameters ``(params, target_params)`` from a
+    TrainState checkpoint written by :func:`save_train_state`.
+
+    Unlike :func:`restore_train_state` this needs no template, so the source
+    run may differ in num_envs / replay capacity / task (L, M) — the use case
+    is warm-starting a harder task from an easier one's weights (curriculum
+    transfer), which the reference cannot do at all (SURVEY.md §5.4)."""
+    if not _HAS_ORBAX:
+        raise RuntimeError("params-only restore requires orbax")
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(path)
+    to_dev = lambda tree: jax.tree.map(jax.numpy.asarray, tree)
+    return to_dev(raw["params"]), to_dev(raw["target_params"])
+
+
 def restore_train_state(path: str, template):
     """Restore a TrainState saved by :func:`save_train_state`; ``template``
     provides the pytree structure/dtypes (an untrained TrainState)."""
