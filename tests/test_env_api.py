@@ -1,5 +1,6 @@
 """User-facing Tetris class: reference API surface + behavior."""
 
+import numpy as np
 import pytest
 
 from tetris_piclim_tpu.env_api import Tetris
@@ -104,3 +105,50 @@ def test_env_api_move_parity_vs_reference():
             assert t_ours.state == t_ref.state
             assert t_ours.pieces == t_ref.pieces
         t_ours.terminate()
+
+
+def test_make_state_copies_host_buffer():
+    """make_state must not alias the caller's numpy buffer: env_api keeps
+    mutating its live board in place, and a zero-copy alias on the CPU
+    backend races JAX's async reads (regression: greedy-play obs probe
+    diverged non-deterministically)."""
+    import jax.numpy as jnp
+    from tetris_piclim_tpu import engine
+
+    board = np.zeros((20, 10), dtype=bool)
+    pieces = np.zeros(9, dtype=np.int8)
+    s = engine.make_state(board, pieces, 1, 8)
+    board[:] = True          # caller mutates after handing the buffer over
+    pieces[:] = 6
+    assert int(jnp.sum(s.board)) == 0
+    assert int(jnp.sum(s.pieces)) == 0
+
+
+def test_play_obs_matches_engine_observe():
+    """The host-side observation the CLI greedy player builds equals
+    engine.observe at every non-terminal step (same encoding the net was
+    trained on)."""
+    import jax.numpy as jnp
+    from tetris_piclim_tpu import engine
+
+    for seed in range(5):
+        t = Tetris(3, 12, warm_reset=False, debug=True, seed=seed)
+        s = engine.make_state(
+            np.asarray(t.board), np.array(t._pieces_full), 3, 12
+        )
+        for rot, loc in list(t.solution):
+            if t.state is not None:
+                break
+            board, cur, nxt, lines_left, moves_left, _ = t.get_state()
+            oh = np.zeros(14, np.float32)
+            oh[cur] = 1.0
+            oh[7 + nxt] = 1.0
+            host = np.concatenate([
+                board.astype(np.float32).reshape(-1), oh,
+                np.array([lines_left, moves_left, 0.0], np.float32),
+            ])
+            np.testing.assert_array_equal(
+                host, np.asarray(engine.observe(s))
+            )
+            t.move(rot, loc)
+            s = engine.step(s, jnp.int32(rot), jnp.int32(loc)).state

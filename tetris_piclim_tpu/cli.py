@@ -21,6 +21,19 @@ def _add_env_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-M", "--moves", type=int, default=20, help="move budget")
 
 
+def _build_net(model: str, dueling: bool):
+    """Q-net from CLI flags; None means the default (reference MLP)."""
+    if model == "conv":
+        from .models.convnet import ConvQNetwork
+
+        return ConvQNetwork(dueling=dueling)
+    if dueling:
+        from .models.qnet import QNetwork
+
+        return QNetwork(dueling=True)
+    return None
+
+
 def cmd_train(args) -> int:
     from .dqn.train import DQNTrainer
     from .utils.config import DQNConfig, EnvConfig, TrainConfig
@@ -61,15 +74,7 @@ def cmd_train(args) -> int:
         bank = ConfigBank(
             cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
         ).fill_device()
-    net = None
-    if args.model == "conv":
-        from .models.convnet import ConvQNetwork
-
-        net = ConvQNetwork(dueling=args.dueling)
-    elif args.dueling:
-        from .models.qnet import QNetwork
-
-        net = QNetwork(dueling=True)
+    net = _build_net(args.model, args.dueling)
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
     if args.warm_start:
         trainer.warm_start(args.warm_start)
@@ -141,7 +146,6 @@ def cmd_curriculum(args) -> int:
 def cmd_eval(args) -> int:
     from .dqn.train import DQNTrainer
     from .utils.config import EnvConfig, TrainConfig
-    from .utils.checkpoint import restore_train_state
 
     cfg = TrainConfig(
         env=EnvConfig(L=args.lines, M=args.moves),
@@ -150,9 +154,11 @@ def cmd_eval(args) -> int:
         replay_capacity=8192,
         seed=args.seed,
     )
-    trainer = DQNTrainer(cfg)
+    trainer = DQNTrainer(cfg, net=_build_net(args.model, args.dueling))
     if args.checkpoint:
-        trainer.state = restore_train_state(args.checkpoint, trainer.state)
+        # params-only: the checkpoint's training shapes (num_envs, replay
+        # capacity, task) need not match this eval harness
+        trainer.warm_start(args.checkpoint)
     print(json.dumps(trainer.evaluate(n_episodes=args.episodes)))
     return 0
 
@@ -208,6 +214,37 @@ def cmd_play(args) -> int:
     if args.policy == "solution":
         for rot, loc in t.solution:
             t.move(rot, loc)
+    elif args.policy == "greedy":
+        # single-env inference from a trained checkpoint
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .models.qnet import FactoredQ, QNetwork
+        from .utils.checkpoint import restore_params
+
+        net = _build_net(args.model, args.dueling) or QNetwork()
+        if not args.checkpoint:
+            print("--policy greedy requires --checkpoint", file=sys.stderr)
+            return 2
+        params, _ = restore_params(args.checkpoint)
+        apply = jax.jit(net.apply)
+
+        def host_obs():
+            board, cur, nxt, lines_left, moves_left, state = t.get_state()
+            oh = np.zeros(14, np.float32)
+            oh[cur] = 1.0
+            oh[7 + nxt] = 1.0
+            return np.concatenate([
+                board.astype(np.float32).reshape(-1),
+                oh,
+                np.array([lines_left, moves_left, 0.0], np.float32),
+            ])
+
+        while t.state is None:
+            q = apply(params, jnp.asarray(host_obs())[None])
+            rot, col = FactoredQ.greedy(q)
+            t.move(int(rot[0]), int(col[0]))
     else:
         rng = random.Random(args.seed)
         while t.state is None:
@@ -308,6 +345,9 @@ def main(argv=None) -> int:
     p.add_argument("--bank", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint")
+    p.add_argument("--model", choices=["mlp", "conv"], default="mlp",
+                   help="must match the checkpoint's architecture")
+    p.add_argument("--dueling", action="store_true")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("generate", help="winnable-config generation")
@@ -322,9 +362,13 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("play", help="play one episode")
     _add_env_flags(p)
-    p.add_argument("--policy", choices=["random", "solution"], default="solution")
+    p.add_argument("--policy", choices=["random", "solution", "greedy"],
+                   default="solution")
     p.add_argument("--render", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", help="TrainState dir for --policy greedy")
+    p.add_argument("--model", choices=["mlp", "conv"], default="mlp")
+    p.add_argument("--dueling", action="store_true")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("bench", help="env-step throughput benchmark")

@@ -95,10 +95,15 @@ def make_state(
     lines_goal,
     move_limit,
 ) -> EnvState:
-    """Build a fresh EnvState from an initial configuration (board, pieces)."""
+    """Build a fresh EnvState from an initial configuration (board, pieces).
+
+    Inputs are copied (``jnp.array``, not ``asarray``): on the CPU backend
+    ``asarray`` can zero-copy-alias a host numpy buffer, and a caller that
+    keeps mutating that buffer (e.g. ``env_api.Tetris``'s live board) would
+    race JAX's async reads."""
     return EnvState(
-        board=jnp.asarray(board, dtype=bool),
-        pieces=jnp.asarray(pieces, dtype=jnp.int8),
+        board=jnp.array(board, dtype=bool),
+        pieces=jnp.array(pieces, dtype=jnp.int8),
         cursor=jnp.int32(0),
         lines_cleared=jnp.int32(0),
         moves_used=jnp.int32(0),
