@@ -51,7 +51,8 @@ def cmd_train(args) -> int:
     else:
         cfg = TrainConfig(
             env=EnvConfig(L=args.lines, M=args.moves),
-            dqn=DQNConfig(n_step=args.n_step, prioritized=args.per),
+            dqn=DQNConfig(n_step=args.n_step, prioritized=args.per,
+                          eps_decay=args.eps_decay),
             num_envs=args.num_envs,
             bank_capacity=args.bank,
             replay_capacity=args.replay,
@@ -286,6 +287,8 @@ def main(argv=None) -> int:
                    help="learner updates per env step (replay ratio knob)")
     p.add_argument("--n-step", type=int, default=1,
                    help="n-step returns (1 = reference-spec 1-step TD)")
+    p.add_argument("--eps-decay", type=float, default=1000.0,
+                   help="exploration decay constant (reference EPS_DECAY)")
     p.add_argument("--per", action="store_true",
                    help="prioritized replay (proportional, with IS weights)")
     p.add_argument("--seed", type=int, default=0)
