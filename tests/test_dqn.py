@@ -72,6 +72,41 @@ def test_factored_q_math():
     assert float(FactoredQ.gather(q, jnp.array([2]), jnp.array([9]))[0]) == 3.0
 
 
+def test_joint_q_math():
+    from tetris_piclim_tpu.models.qnet import JOINT_DIM, JointQ, q_ops
+
+    q = jnp.zeros((1, JOINT_DIM)).at[0, 17].set(5.0)  # rot 1, col 7
+    rot, col = JointQ.greedy(q)
+    assert int(rot[0]) == 1 and int(col[0]) == 7
+    assert float(JointQ.max_value(q)[0]) == 5.0
+    assert float(JointQ.gather(q, jnp.array([1]), jnp.array([7]))[0]) == 5.0
+    assert float(JointQ.gather(q, jnp.array([0]), jnp.array([0]))[0]) == 0.0
+    assert q_ops(JOINT_DIM) is JointQ
+    assert q_ops(14) is FactoredQ
+    with pytest.raises(ValueError):
+        q_ops(21)
+
+
+def test_joint_head_trains_smoke():
+    """The 40-way joint head works end-to-end through the fused trainer
+    (select_actions / td_loss dispatch on head width)."""
+    from tetris_piclim_tpu.dqn.train import DQNTrainer
+    from tetris_piclim_tpu.models.qnet import JOINT_DIM, QNetwork
+
+    cfg = TrainConfig(
+        env=EnvConfig(L=1, M=8),
+        num_envs=32, bank_capacity=32, replay_capacity=4096,
+        warmup_steps=128, total_steps=120, log_every=60, seed=0,
+    )
+    tr = DQNTrainer(cfg, net=QNetwork(joint=True, dueling=True))
+    q = tr.apply_fn(tr.state.params, jnp.zeros((1, OBS_DIM)))
+    assert q.shape[-1] == JOINT_DIM
+    out = tr.train(log_fn=None)
+    assert all(np.isfinite(r["loss"]) for r in out["history"])
+    ev = tr.evaluate(n_episodes=64)
+    assert ev["unfinished"] == 0.0
+
+
 def test_td_loss_terminal_ignores_next():
     key = jax.random.PRNGKey(0)
     net, params = init_qnet(key)

@@ -21,16 +21,16 @@ def _add_env_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-M", "--moves", type=int, default=20, help="move budget")
 
 
-def _build_net(model: str, dueling: bool):
+def _build_net(model: str, dueling: bool, joint: bool = False):
     """Q-net from CLI flags; None means the default (reference MLP)."""
     if model == "conv":
         from .models.convnet import ConvQNetwork
 
-        return ConvQNetwork(dueling=dueling)
-    if dueling:
+        return ConvQNetwork(dueling=dueling, joint=joint)
+    if dueling or joint:
         from .models.qnet import QNetwork
 
-        return QNetwork(dueling=True)
+        return QNetwork(dueling=dueling, joint=joint)
     return None
 
 
@@ -75,7 +75,7 @@ def cmd_train(args) -> int:
         bank = ConfigBank(
             cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
         ).fill_device()
-    net = _build_net(args.model, args.dueling)
+    net = _build_net(args.model, args.dueling, args.joint)
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
     if args.warm_start:
         trainer.warm_start(args.warm_start)
@@ -155,7 +155,9 @@ def cmd_eval(args) -> int:
         replay_capacity=8192,
         seed=args.seed,
     )
-    trainer = DQNTrainer(cfg, net=_build_net(args.model, args.dueling))
+    trainer = DQNTrainer(
+        cfg, net=_build_net(args.model, args.dueling, args.joint)
+    )
     if args.checkpoint:
         # params-only: the checkpoint's training shapes (num_envs, replay
         # capacity, task) need not match this eval harness
@@ -221,10 +223,10 @@ def cmd_play(args) -> int:
         import jax.numpy as jnp
         import numpy as np
 
-        from .models.qnet import FactoredQ, QNetwork
+        from .models.qnet import QNetwork, q_ops
         from .utils.checkpoint import restore_params
 
-        net = _build_net(args.model, args.dueling) or QNetwork()
+        net = _build_net(args.model, args.dueling, args.joint) or QNetwork()
         if not args.checkpoint:
             print("--policy greedy requires --checkpoint", file=sys.stderr)
             return 2
@@ -244,7 +246,7 @@ def cmd_play(args) -> int:
 
         while t.state is None:
             q = apply(params, jnp.asarray(host_obs())[None])
-            rot, col = FactoredQ.greedy(q)
+            rot, col = q_ops(q.shape[-1]).greedy(q)
             t.move(int(rot[0]), int(col[0]))
     else:
         rng = random.Random(args.seed)
@@ -305,6 +307,9 @@ def main(argv=None) -> int:
                                         "source task/config may differ)")
     p.add_argument("--dueling", action="store_true",
                    help="dueling value/advantage head (either model)")
+    p.add_argument("--joint", action="store_true",
+                   help="40-way joint (rotation, column) head instead of the "
+                        "additive factored 14-way head (either model)")
     p.add_argument("--log-file", help="JSONL metrics path")
     p.add_argument("--refresh-bank", action="store_true")
     p.add_argument("--smoke", action="store_true", help="tiny smoke run")
@@ -351,6 +356,7 @@ def main(argv=None) -> int:
     p.add_argument("--model", choices=["mlp", "conv"], default="mlp",
                    help="must match the checkpoint's architecture")
     p.add_argument("--dueling", action="store_true")
+    p.add_argument("--joint", action="store_true")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("generate", help="winnable-config generation")
@@ -372,6 +378,7 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", help="TrainState dir for --policy greedy")
     p.add_argument("--model", choices=["mlp", "conv"], default="mlp")
     p.add_argument("--dueling", action="store_true")
+    p.add_argument("--joint", action="store_true")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("bench", help="env-step throughput benchmark")

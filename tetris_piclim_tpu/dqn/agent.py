@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.qnet import NUM_COL, NUM_ROT, FactoredQ
+from ..models.qnet import NUM_COL, NUM_ROT, q_ops
 from ..utils.config import DQNConfig
 from . import replay as replay_lib
 from .replay import Batch
@@ -34,11 +34,13 @@ def select_actions(
     eps: jax.Array,     # f32 scalar
     key: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """Vmapped epsilon-greedy over the factored (rotation, column) space."""
+    """Vmapped epsilon-greedy over the (rotation, column) action space.
+    Works with either head — the additive factored 14-way or the joint
+    40-way — dispatched on the Q output width (static under jit)."""
     n = obs.shape[0]
     k_expl, k_rot, k_col = jax.random.split(key, 3)
     q = apply_fn(params, obs)
-    g_rot, g_col = FactoredQ.greedy(q)
+    g_rot, g_col = q_ops(q.shape[-1]).greedy(q)
     r_rot = jax.random.randint(k_rot, (n,), 0, NUM_ROT)
     r_col = jax.random.randint(k_col, (n,), 0, NUM_COL)
     explore = jax.random.uniform(k_expl, (n,)) < eps
@@ -61,15 +63,16 @@ def td_loss(
     target net), the literal reading of the reference's comments.
     """
     q = apply_fn(params, batch.obs)
-    q_chosen = FactoredQ.gather(q, batch.rot, batch.col)
+    ops = q_ops(q.shape[-1])
+    q_chosen = ops.gather(q, batch.rot, batch.col)
 
     q_next_target = apply_fn(target_params, batch.next_obs)
     if cfg.double_dqn:
         q_next_online = apply_fn(params, batch.next_obs)
-        a_rot, a_col = FactoredQ.greedy(q_next_online)
-        next_val = FactoredQ.gather(q_next_target, a_rot, a_col)
+        a_rot, a_col = ops.greedy(q_next_online)
+        next_val = ops.gather(q_next_target, a_rot, a_col)
     else:
-        next_val = FactoredQ.max_value(q_next_target)
+        next_val = ops.max_value(q_next_target)
 
     next_val = jax.lax.stop_gradient(next_val)
     # discount is gamma for 1-step batches, gamma^(k*+1) for n-step batches

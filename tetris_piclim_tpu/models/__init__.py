@@ -1,3 +1,3 @@
-from .qnet import QNetwork, FactoredQ, init_qnet
+from .qnet import QNetwork, FactoredQ, JointQ, q_ops, init_qnet
 
-__all__ = ["QNetwork", "FactoredQ", "init_qnet"]
+__all__ = ["QNetwork", "FactoredQ", "JointQ", "q_ops", "init_qnet"]

@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from ..engine import OBS_DIM
-from ..models.qnet import ACTION_DIM, dueling_combine
+from ..models.qnet import (
+    ACTION_DIM,
+    JOINT_DIM,
+    dueling_combine,
+    dueling_combine_joint,
+)
 
 
 class ConvQNetwork(nn.Module):
@@ -31,6 +36,7 @@ class ConvQNetwork(nn.Module):
     hidden: int = 128
     action_dim: int = ACTION_DIM
     dueling: bool = False
+    joint: bool = False
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
@@ -44,8 +50,8 @@ class ConvQNetwork(nn.Module):
         x = jnp.concatenate([x, aux], axis=-1)
         x = nn.relu(nn.Dense(self.hidden)(x))
         x = nn.relu(nn.Dense(self.hidden)(x))
+        out_dim = JOINT_DIM if self.joint else self.action_dim
         if self.dueling:
-            return dueling_combine(
-                nn.Dense(1)(x), nn.Dense(self.action_dim)(x)
-            )
-        return nn.Dense(self.action_dim)(x)
+            combine = dueling_combine_joint if self.joint else dueling_combine
+            return combine(nn.Dense(1)(x), nn.Dense(out_dim)(x))
+        return nn.Dense(out_dim)(x)

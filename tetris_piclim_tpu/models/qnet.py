@@ -38,6 +38,7 @@ from ..engine import OBS_DIM
 NUM_ROT = 4
 NUM_COL = 10
 ACTION_DIM = NUM_ROT + NUM_COL  # 14, per reference model/train.py:26
+JOINT_DIM = NUM_ROT * NUM_COL   # 40, the non-factored ablation head
 
 
 def dueling_combine(v: jax.Array, adv: jax.Array) -> jax.Array:
@@ -54,6 +55,12 @@ def dueling_combine(v: jax.Array, adv: jax.Array) -> jax.Array:
     return jnp.concatenate([a_rot, a_col], axis=-1)
 
 
+def dueling_combine_joint(v: jax.Array, adv: jax.Array) -> jax.Array:
+    """Standard dueling combine (Wang et al. 2016) for the 40-way joint
+    head: ``Q(s,a) = V(s) + A(s,a) - mean_a A(s,a)``."""
+    return v + adv - jnp.mean(adv, axis=-1, keepdims=True)
+
+
 class QNetwork(nn.Module):
     """MLP 217 -> 4x128 -> action_dim (reference model/model.py:9-13).
 
@@ -64,16 +71,17 @@ class QNetwork(nn.Module):
     hidden: Sequence[int] = (128, 128, 128, 128)
     action_dim: int = ACTION_DIM
     dueling: bool = False
+    joint: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for width in self.hidden:
             x = nn.relu(nn.Dense(width)(x))
+        out_dim = JOINT_DIM if self.joint else self.action_dim
         if self.dueling:
-            return dueling_combine(
-                nn.Dense(1)(x), nn.Dense(self.action_dim)(x)
-            )
-        return nn.Dense(self.action_dim)(x)
+            combine = dueling_combine_joint if self.joint else dueling_combine
+            return combine(nn.Dense(1)(x), nn.Dense(out_dim)(x))
+        return nn.Dense(out_dim)(x)
 
 
 class FactoredQ:
@@ -101,6 +109,38 @@ class FactoredQ:
             jnp.take_along_axis(q_rot, rot[..., None], axis=-1)[..., 0]
             + jnp.take_along_axis(q_col, col[..., None], axis=-1)[..., 0]
         )
+
+
+class JointQ:
+    """Helpers for the 40-way joint Q over (rotation, column), row-major
+    ``a = rot * NUM_COL + col``. Same interface as :class:`FactoredQ`; the
+    joint head can represent rotation-column interactions the additive
+    factorization cannot (at 40 outputs instead of 14)."""
+
+    @staticmethod
+    def greedy(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+        flat = jnp.argmax(q, axis=-1)
+        return flat // NUM_COL, flat % NUM_COL
+
+    @staticmethod
+    def max_value(q: jax.Array) -> jax.Array:
+        return jnp.max(q, axis=-1)
+
+    @staticmethod
+    def gather(q: jax.Array, rot: jax.Array, col: jax.Array) -> jax.Array:
+        a = rot * NUM_COL + col
+        return jnp.take_along_axis(q, a[..., None], axis=-1)[..., 0]
+
+
+def q_ops(q_dim: int):
+    """Dispatch the Q-helper class on the (static) head width: 14 ->
+    additive factored, 40 -> joint. Shapes are static under jit, so this
+    costs nothing at runtime and needs no config threading."""
+    if q_dim == ACTION_DIM:
+        return FactoredQ
+    if q_dim == JOINT_DIM:
+        return JointQ
+    raise ValueError(f"unrecognized Q head width {q_dim} (expected 14 or 40)")
 
 
 def init_qnet(key: jax.Array, action_dim: int = ACTION_DIM):
