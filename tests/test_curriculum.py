@@ -78,3 +78,26 @@ def test_curriculum_trainer_promotes():
     # threshold 0 forces promotion whenever level-0 episodes occurred
     assert hist[-1]["level_distribution"][1] > 0
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_curriculum_trainer_custom_net_and_replay_ratio():
+    """CurriculumTrainer accepts a custom net (dueling/joint) and honors
+    cfg.updates_per_step (replay-ratio loop inside the fused chunk)."""
+    from tetris_piclim_tpu.dqn.curriculum_train import CurriculumTrainer
+    from tetris_piclim_tpu.models.qnet import QNetwork
+    from tetris_piclim_tpu.utils.config import DQNConfig, EnvConfig, TrainConfig
+
+    cfg = TrainConfig(
+        env=EnvConfig(L=1, M=6),
+        dqn=DQNConfig(batch_size=32),
+        num_envs=64, bank_capacity=16, replay_capacity=2048,
+        warmup_steps=64, updates_per_step=2, seed=0,
+    )
+    tr = CurriculumTrainer(
+        [(1, 8), (2, 12)], cfg=cfg, net=QNetwork(dueling=True, joint=True)
+    )
+    hist = tr.train(total_steps=120, chunk=60, threshold=0.0, fraction=0.5,
+                    log_fn=None)
+    assert np.isfinite(hist[-1]["loss"])
+    rows = tr.evaluate_levels(episodes_per_level=32)
+    assert all(0.0 <= r["win_rate"] <= 1.0 for r in rows)

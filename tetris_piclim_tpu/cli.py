@@ -124,9 +124,13 @@ def cmd_curriculum(args) -> int:
         bank_capacity=args.bank,
         replay_capacity=args.replay,
         warmup_steps=args.warmup,
+        updates_per_step=args.updates,
         seed=args.seed,
     )
-    tr = CurriculumTrainer(levels, cfg=cfg, seed=args.seed)
+    tr = CurriculumTrainer(
+        levels, cfg=cfg, seed=args.seed,
+        net=_build_net(args.model, args.dueling, args.joint),
+    )
     hist = tr.train(
         total_steps=args.steps,
         chunk=args.chunk,
@@ -345,6 +349,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-episodes", type=int, default=256,
                    help="final greedy evaluation episodes per level")
+    p.add_argument("--updates", type=int, default=1,
+                   help="learner updates per env step (replay ratio knob)")
+    p.add_argument("--model", choices=["mlp", "conv"], default="mlp")
+    p.add_argument("--dueling", action="store_true")
+    p.add_argument("--joint", action="store_true")
     p.set_defaults(fn=cmd_curriculum)
 
     p = sub.add_parser("eval", help="greedy-policy win rate")

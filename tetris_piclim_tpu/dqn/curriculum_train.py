@@ -41,6 +41,7 @@ class CurriculumTrainer:
         levels: Sequence[tuple[int, int]],
         cfg: Optional[TrainConfig] = None,
         seed: int = 0,
+        net=None,
     ) -> None:
         self.levels = list(levels)
         self.cfg = cfg or TrainConfig()
@@ -57,7 +58,9 @@ class CurriculumTrainer:
             self.bank, jnp.asarray(self.level, jnp.int32), k_env
         )
 
-        self.net = QNetwork(action_dim=ACTION_DIM)
+        # any flax module with apply(params, obs[N, 217]) -> q[N, 14|40]
+        # works (e.g. models.convnet.ConvQNetwork, dueling/joint variants)
+        self.net = net if net is not None else QNetwork(action_dim=ACTION_DIM)
         self.apply_fn = self.net.apply
         params = self.net.init(k_init, jnp.zeros((1, 217), jnp.float32))
         self.optimizer = agent_lib.make_optimizer(self.cfg.dqn)
@@ -79,16 +82,25 @@ class CurriculumTrainer:
 
         def learn(args):
             params, target_params, opt_state, rpl, k = args
-            params, target_params, opt_state, rpl, aux = (
-                agent_lib.learner_update(
-                    params, target_params, opt_state, rpl, k,
-                    apply_fn=self.apply_fn,
-                    optimizer=self.optimizer,
-                    cfg=dqn,
-                    step_gap=self.cfg.num_envs,
+
+            def one(carry, kk):
+                params, target_params, opt_state, rpl = carry
+                params, target_params, opt_state, rpl, aux = (
+                    agent_lib.learner_update(
+                        params, target_params, opt_state, rpl, kk,
+                        apply_fn=self.apply_fn,
+                        optimizer=self.optimizer,
+                        cfg=dqn,
+                        step_gap=self.cfg.num_envs,
+                    )
                 )
+                return (params, target_params, opt_state, rpl), aux["loss"]
+
+            keys = jax.random.split(k, self.cfg.updates_per_step)
+            (params, target_params, opt_state, rpl), losses = jax.lax.scan(
+                one, (params, target_params, opt_state, rpl), keys
             )
-            return params, target_params, opt_state, rpl, aux["loss"]
+            return params, target_params, opt_state, rpl, losses.mean()
 
         def skip(args):
             params, target_params, opt_state, rpl, _ = args
