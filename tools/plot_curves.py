@@ -27,11 +27,12 @@ def parse(path):
 
 def main(out="results/curves.png"):
     runs = [
-        ("results/train_L2M20_flagship.log", "L=2 M=20 (flagship)", "tab:blue"),
-        ("results/train_L2M20_v2.log", "L=2 M=20 (seed 0, 100k)", "tab:cyan"),
-        ("results/train_L2M20_seed1.log", "L=2 M=20 (seed 1, 100k)", "tab:green"),
-        ("results/train_L3M20.log", "L=3 M=20", "tab:orange"),
-        ("results/train_L5M25.log", "L=5 M=25", "tab:red"),
+        ("results/train_L2M20_joint.log", "L=2 M=20 (joint recipe)", "tab:blue"),
+        ("results/train_L5M25_conv_duel_joint.log", "L=5 M=25 (joint recipe)", "tab:red"),
+        ("results/train_L10M30_joint.log", "L=10 M=30 (joint recipe)", "tab:purple"),
+        ("results/train_L3M20_joint_long.log", "L=3 M=20 (joint recipe)", "tab:orange"),
+        ("results/train_L2M20_flagship.log", "L=2 M=20 (reference MLP, 4.1B)", "tab:cyan"),
+        ("results/train_L5M25.log", "L=5 M=25 (reference MLP)", "tab:gray"),
     ]
     fig, ax = plt.subplots(figsize=(8, 5))
     for path, label, color in runs:
