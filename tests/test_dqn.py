@@ -127,6 +127,46 @@ def test_td_loss_terminal_ignores_next():
     np.testing.assert_allclose(float(aux["td_abs"]), np.abs(expected_td).mean(), rtol=1e-5)
 
 
+def test_double_vs_vanilla_td_targets():
+    """double_dqn=True evaluates the ONLINE argmax action under the TARGET
+    net; False takes the target net's own max. With distinct online/target
+    params the two targets must differ, and the vanilla bootstrap must be
+    >= the double one under the same target net (max dominates any gather)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    net, params = init_qnet(k1)
+    _, target_params = init_qnet(k2)
+    obs = jax.random.uniform(jax.random.PRNGKey(4), (8, OBS_DIM))
+    b = replay_lib.Batch(
+        obs=obs,
+        rot=jnp.zeros((8,), jnp.int32),
+        col=jnp.zeros((8,), jnp.int32),
+        reward=jnp.zeros((8,)),
+        next_obs=obs,
+        done=jnp.zeros((8,), bool),
+    )
+    q_t = net.apply(target_params, b.next_obs)
+    q_o = net.apply(params, b.next_obs)
+    a_rot, a_col = FactoredQ.greedy(q_o)
+    double_val = np.asarray(FactoredQ.gather(q_t, a_rot, a_col))
+    vanilla_val = np.asarray(FactoredQ.max_value(q_t))
+    assert (vanilla_val >= double_val - 1e-6).all()
+    assert not np.allclose(vanilla_val, double_val)
+
+    # the losses the learner actually computes pick up exactly these targets
+    cfg_d = DQNConfig(double_dqn=True)
+    cfg_v = DQNConfig(double_dqn=False)
+    _, aux_d = agent_lib.td_loss(params, target_params, net.apply, b, cfg_d)
+    _, aux_v = agent_lib.td_loss(params, target_params, net.apply, b, cfg_v)
+    q = net.apply(params, b.obs)
+    qc = np.asarray(FactoredQ.gather(q, b.rot, b.col))
+    np.testing.assert_allclose(
+        float(aux_d["td_abs"]),
+        np.abs(qc - cfg_d.gamma * double_val).mean(), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(aux_v["td_abs"]),
+        np.abs(qc - cfg_v.gamma * vanilla_val).mean(), rtol=1e-5)
+
+
 def test_eps_schedule_matches_declared_constants():
     cfg = DQNConfig()
     assert float(agent_lib.eps_schedule(jnp.int32(0), cfg)) == pytest.approx(0.9)

@@ -52,7 +52,8 @@ def cmd_train(args) -> int:
         cfg = TrainConfig(
             env=EnvConfig(L=args.lines, M=args.moves),
             dqn=DQNConfig(n_step=args.n_step, prioritized=args.per,
-                          eps_decay=args.eps_decay),
+                          eps_decay=args.eps_decay,
+                          double_dqn=args.double),
             num_envs=args.num_envs,
             bank_capacity=args.bank,
             replay_capacity=args.replay,
@@ -297,6 +298,10 @@ def main(argv=None) -> int:
                    help="exploration decay constant (reference EPS_DECAY)")
     p.add_argument("--per", action="store_true",
                    help="prioritized replay (proportional, with IS weights)")
+    p.add_argument("--double", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="double DQN target (--no-double = vanilla max over "
+                        "the target net, the literal reference spec)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-episodes", type=int, default=1024)
     p.add_argument("--config", help="TrainConfig JSON file")
