@@ -89,9 +89,16 @@ def _kernel(
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, W), 1)
 
     def rand_uniform_int(maxval_f):
-        """[tile] uniform ints in [0, maxval) via multiply-shift."""
-        bits = pltpu.prng_random_bits((tile, 1))[:, 0]
-        hi16 = (bits >> 16).astype(f32)
+        """[tile] uniform ints in [0, maxval) via multiply-shift.
+
+        Bits are drawn as (1, tile): a (tile, 1) draw puts one useful lane
+        in each 8x128 vreg (tile/8 vregs per call), while (1, tile) packs
+        the same tile words into tile/128 vregs — 16x less PRNG work."""
+        bits = pltpu.prng_random_bits((1, tile))[0, :]
+        # prng_random_bits yields int32: '>> 16' alone would be an
+        # ARITHMETIC shift (negative for half of all draws -> negative
+        # locations / bank indices); mask to the unsigned hi16 field.
+        hi16 = ((bits >> 16) & 0xFFFF).astype(f32)
         return (hi16 * maxval_f / 65536.0).astype(jnp.int32)
 
     def body(step, carry):
