@@ -43,8 +43,37 @@ def test_cli_train_smoke(capsys, tmp_path):
     ])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["unfinished"] == 0.0
+    assert out["train_bank"]["unfinished"] == 0.0
     assert (tmp_path / "m.jsonl").exists()
+
+
+def test_cli_config_merges_cli_overrides(tmp_path, monkeypatch):
+    """--config must not silently discard explicitly-passed CLI flags
+    (regression: '--config x.json --no-double' used to train double DQN)."""
+    import pytest
+
+    import tetris_piclim_tpu.dqn.train as train_mod
+    from tetris_piclim_tpu.utils.config import TrainConfig
+
+    captured = {}
+
+    class FakeTrainer:
+        def __init__(self, cfg, bank=None, backend="bitboard", net=None):
+            captured["cfg"] = cfg
+            raise RuntimeError("stop after config capture")
+
+    monkeypatch.setattr(train_mod, "DQNTrainer", FakeTrainer)
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(TrainConfig(total_steps=123, num_envs=64).to_json())
+    with pytest.raises(RuntimeError, match="stop after"):
+        cli_main([
+            "train", "--config", str(cfg_file),
+            "--no-double", "--num-envs", "32",
+        ])
+    cfg = captured["cfg"]
+    assert cfg.total_steps == 123           # JSON value kept
+    assert cfg.dqn.double_dqn is False      # CLI override survives
+    assert cfg.num_envs == 32               # CLI override beats JSON
 
 
 def test_metrics_logger(tmp_path):

@@ -29,6 +29,25 @@ def test_warm_reset_queue():
     t.terminate()  # clean worker shutdown
 
 
+def test_warm_reset_spawns_after_jax(recwarn):
+    """Producers must use a spawn context: fork() after the JAX runtime has
+    started its threads is a latent deadlock (regression: CPython emitted
+    'os.fork() was called ... may lead to deadlocks' under the old default
+    fork start method)."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.ones(8)))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        t = Tetris(1, 6, warm_reset=True, seed=9)
+        t.reset()
+        t.terminate()
+    assert not [w for w in caught if "fork" in str(w.message)]
+
+
 def test_parity_mode_preserves_reset_quirks():
     t = Tetris(1, 5, warm_reset=False, parity=True, seed=2)
     # drive to terminal

@@ -66,8 +66,47 @@ def cmd_train(args) -> int:
             checkpoint_every=args.checkpoint_every,
         )
     if args.config:
+        import dataclasses
+
         with open(args.config) as fh:
-            cfg = type(cfg).from_json(fh.read())
+            cfg = TrainConfig.from_json(fh.read())
+        # CLI flags the user explicitly changed from their argparse defaults
+        # override the JSON (previously they were silently discarded — a user
+        # passing '--config x.json --no-double' got double DQN anyway)
+        default = args._parser.get_default
+
+        def overrides(pairs):
+            return {
+                field: getattr(args, flag)
+                for flag, field in pairs
+                if getattr(args, flag) != default(flag)
+            }
+
+        env_kw = overrides([("lines", "L"), ("moves", "M")])
+        dqn_kw = overrides([
+            ("n_step", "n_step"), ("per", "prioritized"),
+            ("eps_decay", "eps_decay"), ("double", "double_dqn"),
+        ])
+        top_kw = overrides([
+            ("num_envs", "num_envs"), ("bank", "bank_capacity"),
+            ("replay", "replay_capacity"), ("warmup", "warmup_steps"),
+            ("steps", "total_steps"), ("log_every", "log_every"),
+            ("updates", "updates_per_step"), ("seed", "seed"),
+            ("checkpoint", "checkpoint_dir"),
+            ("checkpoint_every", "checkpoint_every"),
+        ])
+        cfg = dataclasses.replace(
+            cfg,
+            env=dataclasses.replace(cfg.env, **env_kw),
+            dqn=dataclasses.replace(cfg.dqn, **dqn_kw),
+            **top_kw,
+        )
+        if env_kw or dqn_kw or top_kw:
+            print(
+                f"--config merged with CLI overrides: "
+                f"{ {**env_kw, **dqn_kw, **top_kw} }",
+                file=sys.stderr,
+            )
 
     bank = None
     if args.device_bank:
@@ -98,6 +137,17 @@ def cmd_train(args) -> int:
             refresh_bank=args.refresh_bank,
         )
     ev = trainer.evaluate(n_episodes=args.eval_episodes)
+    ev = {"train_bank": ev}
+    if args.eval_holdout:
+        from .gen.bank import make_holdout_bank
+
+        holdout = make_holdout_bank(
+            cfg.env.L, cfg.env.M, capacity=args.holdout_bank,
+            train_bank=trainer.bank,
+        )
+        ev["holdout"] = trainer.evaluate(
+            n_episodes=args.eval_episodes, bank=holdout
+        )
     logger.log({"final_eval": ev})
     print(json.dumps(ev))
     if args.checkpoint:
@@ -167,7 +217,18 @@ def cmd_eval(args) -> int:
         # params-only: the checkpoint's training shapes (num_envs, replay
         # capacity, task) need not match this eval harness
         trainer.warm_start(args.checkpoint)
-    print(json.dumps(trainer.evaluate(n_episodes=args.episodes)))
+    # the eval command's own bank is carved from args.seed — it equals the
+    # TRAINING bank only if seed/capacity/fill-path match the training run
+    out = {"bank": trainer.evaluate(n_episodes=args.episodes)}
+    if args.eval_holdout:
+        from .gen.bank import make_holdout_bank
+
+        holdout = make_holdout_bank(
+            args.lines, args.moves, capacity=args.holdout_bank,
+            train_bank=trainer.bank,
+        )
+        out["holdout"] = trainer.evaluate(n_episodes=args.episodes, bank=holdout)
+    print(json.dumps(out))
     return 0
 
 
@@ -304,6 +365,12 @@ def main(argv=None) -> int:
                         "the target net, the literal reference spec)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-episodes", type=int, default=1024)
+    p.add_argument("--eval-holdout", action="store_true",
+                   help="also evaluate on a held-out bank provably disjoint "
+                        "from training (fresh carve key + forward seeds "
+                        ">= 100000)")
+    p.add_argument("--holdout-bank", type=int, default=1024,
+                   help="held-out bank capacity for --eval-holdout")
     p.add_argument("--config", help="TrainConfig JSON file")
     p.add_argument("--checkpoint", help="save final TrainState here")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -335,7 +402,7 @@ def main(argv=None) -> int:
         "--model", choices=["mlp", "conv"], default="mlp",
         help="mlp = reference-declared 4x128 MLP; conv = conv-torso variant",
     )
-    p.set_defaults(fn=cmd_train)
+    p.set_defaults(fn=cmd_train, _parser=p)
 
     p = sub.add_parser(
         "curriculum", help="curriculum DQN over (L, M) levels with promotion"
@@ -365,6 +432,10 @@ def main(argv=None) -> int:
     _add_env_flags(p)
     p.add_argument("--episodes", type=int, default=1024)
     p.add_argument("--bank", type=int, default=256)
+    p.add_argument("--eval-holdout", action="store_true",
+                   help="also evaluate on a held-out bank (fresh carve key "
+                        "+ forward seeds >= 100000, disjointness checked)")
+    p.add_argument("--holdout-bank", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint")
     p.add_argument("--model", choices=["mlp", "conv"], default="mlp",

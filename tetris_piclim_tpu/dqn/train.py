@@ -319,17 +319,23 @@ class DQNTrainer:
 
     # -- evaluation ----------------------------------------------------------
 
-    def evaluate(self, n_episodes: int = 1024, key=None) -> dict:
+    def evaluate(self, n_episodes: int = 1024, key=None, bank=None) -> dict:
         """Greedy-policy win rate over ``n_episodes`` fresh bank configs:
         each env plays exactly one episode (no auto-reset), scanned M+1
-        steps so every episode reaches a terminal."""
+        steps so every episode reaches a terminal.
+
+        ``bank`` defaults to the TRAINING bank — a win rate that may reflect
+        memorization of its finite config set. For a generalization
+        measurement pass a held-out bank (gen.bank.make_holdout_bank), whose
+        configs are provably disjoint from training."""
         cfg = self.cfg
+        bank = bank if bank is not None else self.bank
         key = key if key is not None else jax.random.PRNGKey(cfg.seed + 1)
         idx = jax.random.randint(
-            key, (n_episodes,), 0, self.bank.boards.shape[0]
+            key, (n_episodes,), 0, bank.boards.shape[0]
         )
         env = self.backend.make_state_batch(
-            self.bank.boards[idx], self.bank.pieces[idx], cfg.env.L, cfg.env.M
+            bank.boards[idx], bank.pieces[idx], cfg.env.L, cfg.env.M
         )
 
         @jax.jit

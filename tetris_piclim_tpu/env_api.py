@@ -163,17 +163,21 @@ class Tetris:
         if self.warm_reset:
             # bounded like the reference's Queue(maxsize=20), game/tetris.py:195;
             # two producer PROCESSES mirroring the reference's pair
-            # (game/tetris.py:202-211): carving + forward generate+prove
-            self._queue = multiprocessing.Queue(maxsize=20)
-            self._stop = multiprocessing.Event()
+            # (game/tetris.py:202-211): carving + forward generate+prove.
+            # spawn (not fork): the parent typically has live JAX runtime
+            # threads by now, and fork() with threads held is a latent
+            # deadlock (CPython warns "os.fork() was called ..."). The
+            # producers import only numpy-level code, so spawn start cost
+            # is a one-off ~100ms per worker.
+            ctx = multiprocessing.get_context("spawn")
+            self._queue = ctx.Queue(maxsize=20)
+            self._stop = ctx.Event()
             specs = [
                 (_carve_producer, (self._queue, self._stop, L, M)),
                 (_forward_producer, (self._queue, self._stop, L, M, parity)),
             ]
             for target, args in specs:
-                proc = multiprocessing.Process(
-                    target=target, args=args, daemon=True
-                )
+                proc = ctx.Process(target=target, args=args, daemon=True)
                 proc.start()
                 self._workers.append(proc)
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import random
 import threading
+import time
 from typing import Optional
 
 import jax
@@ -181,3 +182,122 @@ class ConfigBank:
         for th in self._threads:
             th.join(timeout=30)
         self._threads.clear()
+
+    # -- identity -------------------------------------------------------------
+
+    def row_keys(self) -> set[bytes]:
+        """One hashable key per (board, piece-sequence) row — the config's
+        full identity. Used to prove train/holdout disjointness."""
+        keys = set()
+        for i in range(self.capacity):
+            keys.add(
+                np.packbits(self._host_boards[i]).tobytes()
+                + self._host_pieces[i].tobytes()
+            )
+        return keys
+
+
+def make_holdout_bank(
+    L: int,
+    M: int,
+    capacity: int,
+    train_bank: Optional[ConfigBank] = None,
+    *,
+    seed: int = 1_000_003,
+    forward_fraction: float = 0.5,
+    forward_seed_start: int = 100_000,
+    forward_seed_budget: int = 4_000,
+    forward_time_budget_s: float = 120.0,
+    device=None,
+) -> ConfigBank:
+    """Build an evaluation bank PROVABLY DISJOINT from ``train_bank``.
+
+    The round-1 headline win rates were measured on the training bank — the
+    same finite config set the agent revisited ~1e6 times — so they could
+    reflect memorization. This builds a fresh bank from BOTH config families:
+
+    * forward generate+prove games from seeds >= ``forward_seed_start``
+      (the reference's own pipeline only ever uses seeds 0..99,
+      game/tetris_algo_main/main.py:39-40, and training banks use either
+      the same low windows or the device carver, so these seeds are new);
+    * device-carved configs from a fresh PRNG key derived from ``seed``
+      (never used for training banks, which derive keys from cfg.seed).
+
+    Disjointness is then *checked*, not assumed: every row's
+    (board, sequence) identity is hashed and any row colliding with the
+    training bank is dropped and replaced by a freshly-carved one. Forward
+    generation is bounded by ``forward_seed_budget`` seeds; any shortfall
+    (hard tasks where the greedy prover's yield is low) is filled by carving.
+    """
+    bank = ConfigBank(L, M, capacity=capacity, seed=seed, device=device)
+    P = bank.P
+    taken: set[bytes] = set(train_bank.row_keys()) if train_bank is not None else set()
+
+    def key_of(board: np.ndarray, pieces: np.ndarray) -> bytes:
+        return np.packbits(board).tobytes() + pieces.tobytes()
+
+    rows: list[tuple[np.ndarray, np.ndarray]] = []
+
+    # forward family first (seeds provably outside any training window);
+    # bounded by seed AND wall-clock budget — on hard tasks the greedy
+    # prover's yield collapses and carving fills the shortfall
+    n_forward = int(capacity * forward_fraction)
+    s = forward_seed_start
+    t_end = time.time() + forward_time_budget_s
+    while (
+        len(rows) < n_forward
+        and s < forward_seed_start + forward_seed_budget
+        and time.time() < t_end
+    ):
+        games = generate_batch(L, M, seed_start=s, seed_end=s + 100)
+        s += 100
+        for b, p in translate_batch(games, M, rng=bank._rng, parity=False):
+            if len(rows) >= n_forward:
+                break
+            board = np.asarray(b, dtype=bool)
+            pieces = np.asarray((p + [0] * P)[:P], dtype=np.int8)
+            k = key_of(board, pieces)
+            if k in taken:
+                continue
+            taken.add(k)
+            rows.append((board, pieces))
+    n_forward_got = len(rows)
+
+    # fill the rest by carving on device from a fresh key (fast), replacing
+    # any row that collides with the training bank
+    from ..ops.bitboard import unpack_board
+    from .jax_carver import generate_batch_device
+
+    key = jax.random.PRNGKey(seed)
+    while len(rows) < capacity:
+        key, k_gen = jax.random.split(key)
+        n_need = capacity - len(rows)
+        n_gen = max(64, n_need)
+        batch = jax.jit(
+            generate_batch_device, static_argnames=("n", "L", "M")
+        )(k_gen, n=n_gen, L=L, M=M)
+        boards = np.asarray(unpack_board(batch.boards))
+        pieces = np.asarray(batch.pieces)
+        for i in range(n_gen):
+            if len(rows) >= capacity:
+                break
+            k = key_of(boards[i], pieces[i])
+            if k in taken:
+                continue
+            taken.add(k)
+            rows.append((boards[i], pieces[i]))
+
+    for i, (b, p) in enumerate(rows):
+        bank._host_boards[i] = b
+        bank._host_pieces[i] = p
+    bank._fill_count = capacity
+    bank.family_counts = {
+        "forward": n_forward_got,
+        "carve": capacity - n_forward_got,
+    }
+    bank._upload()
+
+    if train_bank is not None:
+        overlap = bank.row_keys() & train_bank.row_keys()
+        assert not overlap, f"holdout/train overlap: {len(overlap)} rows"
+    return bank

@@ -255,6 +255,10 @@ def rollout_fused(
     assert n % tile == 0, (n, tile)
     grid = (n // tile,)
     bank = bank_cols.shape[0]
+    # rand_uniform_int draws 16 bits -> bank indices have 2^16 granularity;
+    # a larger bank would leave rows unreachable (and bank values must stay
+    # exact in f32 for the one-hot contraction)
+    assert bank <= 65536, f"bank capacity {bank} exceeds 16-bit index range"
     pieces_len = state.pieces.shape[1]
 
     def col2(x):
