@@ -1,0 +1,60 @@
+"""Async bank refresh: both reference producers feed the live bank.
+
+The reference runs TWO warm-reset producers forever — a carving worker and a
+forward generate+prove worker (game/tetris.py:473-488). ConfigBank's refresh
+must do the same: carve workers plus a forward worker over rotating seed
+windows, swapping rows in-place while training reads the device arrays."""
+
+import time
+
+from tetris_piclim_tpu.dqn.train import DQNTrainer
+from tetris_piclim_tpu.gen.bank import ConfigBank
+from tetris_piclim_tpu.utils.config import EnvConfig, TrainConfig
+
+
+def test_mixed_fill_families():
+    bank = ConfigBank(1, 8, capacity=16, seed=0).fill(carve_fraction=0.75)
+    fc = bank.family_counts
+    assert fc["carve"] == 12
+    assert fc["forward"] == 4
+
+
+def test_trainer_default_bank_is_mixed():
+    cfg = TrainConfig(
+        env=EnvConfig(L=1, M=8),
+        num_envs=8, bank_capacity=16, replay_capacity=256,
+        warmup_steps=4, total_steps=4, log_every=4, seed=0,
+    )
+    trainer = DQNTrainer(cfg)
+    fc = trainer.bank.family_counts
+    assert fc["forward"] > 0 and fc["carve"] > 0
+
+
+def test_refresh_includes_forward_family():
+    """Rows written by the async refresh must include forward-family configs
+    (round-1 regression: start_refresh spawned carving workers only, so a
+    device-carved bank stayed single-family forever)."""
+    bank = ConfigBank(1, 8, capacity=32, seed=1).fill_device()
+    assert bank.family_counts == {"carve": 32, "forward": 0}
+    bank.start_refresh(n_threads=1, batch_per_cycle=4)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            fc = bank.family_counts
+            if fc["forward"] > 0 and bank.refresh_writes > 0:
+                break
+            time.sleep(0.2)
+    finally:
+        bank.stop_refresh()
+    assert bank.family_counts["forward"] > 0
+    assert bank.refresh_writes > 0
+    # device arrays were re-uploaded (rebinding) and stay consistent
+    assert bank.boards.shape == (32, 20, 10)
+    assert bank.pieces.shape == (32, 9)
+
+
+def test_refresh_rows_stay_winnable_shape():
+    """Forward rows are padded/truncated to M+1 like carver rows."""
+    bank = ConfigBank(2, 10, capacity=8, seed=2).fill(carve_fraction=0.5)
+    assert bank._host_pieces.shape == (8, 11)
+    assert (bank._host_pieces >= 0).all() and (bank._host_pieces < 7).all()

@@ -69,7 +69,7 @@ class DQNTrainer:
         if bank is None:
             bank = ConfigBank(
                 cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
-            ).fill()
+            ).fill(carve_fraction=cfg.bank_carve_fraction)
         self.bank = bank
 
         key = jax.random.PRNGKey(cfg.seed)
@@ -261,12 +261,22 @@ class DQNTrainer:
                     "eps": eps_now,
                     "steps_per_s": n * cfg.num_envs / max(dt, 1e-9),
                 }
+                if refresh_bank:
+                    # bank churn: rows replaced so far + family mix
+                    row["bank_writes"] = self.bank.refresh_writes
+                    row["bank_families"] = self.bank.family_counts
                 history.append(row)
                 if log_fn is not None:
+                    extra = (
+                        f" bank_writes={row['bank_writes']}"
+                        f" families={row['bank_families']}"
+                        if refresh_bank else ""
+                    )
                     log_fn(
                         f"[{row['step']:>7}] env_steps={row['env_steps']:.2e} "
                         f"win_rate={row['win_rate']:.3f} loss={row['loss']:.4f} "
                         f"eps={row['eps']:.3f} sps={row['steps_per_s']:.3e}"
+                        f"{extra}"
                     )
                 since_ckpt += n
                 if (

@@ -30,6 +30,9 @@ from ..tables import BOARD_H, BOARD_W
 from .carver import CarvingGenerator
 from .pipeline import generate_batch, translate_batch
 
+FAMILY_CARVE = 0
+FAMILY_FORWARD = 1
+
 
 class ConfigBank:
     """Fixed-capacity bank of initial configurations.
@@ -62,7 +65,10 @@ class ConfigBank:
         self._threads: list[threading.Thread] = []
         self._host_boards = np.zeros((capacity, BOARD_H, BOARD_W), dtype=bool)
         self._host_pieces = np.zeros((capacity, self.P), dtype=np.int8)
+        # per-row provenance: FAMILY_CARVE or FAMILY_FORWARD
+        self._family = np.zeros(capacity, dtype=np.int8)
         self._fill_count = 0
+        self._refresh_writes = 0
         self.boards: Optional[jax.Array] = None
         self.pieces: Optional[jax.Array] = None
 
@@ -72,17 +78,25 @@ class ConfigBank:
         gen = CarvingGenerator(self.L, self.M, rng=self._rng)
         return gen.generate()
 
-    def fill(self, carve_fraction: float = 1.0, seed_start: int = 0) -> "ConfigBank":
+    def fill(
+        self,
+        carve_fraction: float = 1.0,
+        seed_start: int = 0,
+        forward_seed_budget: int = 10_000,
+    ) -> "ConfigBank":
         """Synchronously fill the bank. ``carve_fraction`` of rows come from
-        the carving generator; the rest from the forward+prove pipeline."""
+        the carving generator; the rest from the forward+prove pipeline.
+        On hard tasks where the forward prover's yield collapses, the seed
+        budget bounds the search and carving fills the shortfall."""
         n_carve = int(self.capacity * carve_fraction)
         for i in range(n_carve):
             b, p = self._carve_one()
             self._host_boards[i] = b
             self._host_pieces[i] = np.asarray(p[: self.P], dtype=np.int8)
+            self._family[i] = FAMILY_CARVE
         i = n_carve
         seed = seed_start
-        while i < self.capacity:
+        while i < self.capacity and seed < seed_start + forward_seed_budget:
             games = generate_batch(self.L, self.M, seed_start=seed, seed_end=seed + 100)
             seed += 100
             for b, p in translate_batch(
@@ -93,10 +107,30 @@ class ConfigBank:
                 self._host_boards[i] = b
                 seq = (p + [0] * self.P)[: self.P]
                 self._host_pieces[i] = np.asarray(seq, dtype=np.int8)
+                self._family[i] = FAMILY_FORWARD
                 i += 1
+        while i < self.capacity:  # forward shortfall -> carve
+            b, p = self._carve_one()
+            self._host_boards[i] = b
+            self._host_pieces[i] = np.asarray(p[: self.P], dtype=np.int8)
+            self._family[i] = FAMILY_CARVE
+            i += 1
         self._fill_count = self.capacity
         self._upload()
         return self
+
+    @property
+    def family_counts(self) -> dict:
+        """How many bank rows come from each generator family."""
+        return {
+            "carve": int((self._family == FAMILY_CARVE).sum()),
+            "forward": int((self._family == FAMILY_FORWARD).sum()),
+        }
+
+    @property
+    def refresh_writes(self) -> int:
+        """Total rows replaced by the async refresh since start_refresh."""
+        return self._refresh_writes
 
     def _upload(self) -> None:
         kwargs = {"device": self._device} if self._device is not None else {}
@@ -120,19 +154,46 @@ class ConfigBank:
         kwargs = {"device": self._device} if self._device is not None else {}
         self.boards = jax.device_put(boards, **kwargs)
         self.pieces = jax.device_put(batch.pieces, **kwargs)
-        self._host_boards = np.asarray(boards)
-        self._host_pieces = np.asarray(batch.pieces)
+        # np.array (copy): np.asarray of a jax array is a READ-ONLY view,
+        # which would break later in-place refresh writes
+        self._host_boards = np.array(boards)
+        self._host_pieces = np.array(batch.pieces)
+        self._family[:] = FAMILY_CARVE
         self._fill_count = self.capacity
         return self
 
     # -- async refresh ------------------------------------------------------
 
+    def _swap_rows(self, fresh: list, family: int) -> None:
+        """Replace random rows with fresh configs and re-upload (host
+        double-buffer; device arrays replaced atomically by rebinding)."""
+        with self._lock:
+            rows = self._np_rng.integers(0, self.capacity, len(fresh))
+            for row, (b, p) in zip(rows, fresh):
+                self._host_boards[row] = b
+                seq = (list(p) + [0] * self.P)[: self.P]
+                self._host_pieces[row] = np.asarray(seq, dtype=np.int8)
+                self._family[row] = family
+            self._refresh_writes += len(fresh)
+            self._upload()
+
     def start_refresh(
-        self, n_threads: int = 1, batch_per_cycle: int = 32
+        self,
+        n_threads: int = 1,
+        batch_per_cycle: int = 32,
+        forward: bool = True,
+        forward_seed_start: int = 0,
+        forward_window: int = 100,
     ) -> None:
-        """Background threads keep carving fresh configs into random rows and
-        re-upload the bank after each cycle (double-buffered on the host; the
-        device arrays are replaced atomically by rebinding).
+        """Background producer threads keep swapping fresh configs into
+        random rows — the reference's two-producer design
+        (game/tetris.py:473-488), bank-resident instead of queue-fed:
+
+        * ``n_threads`` carving producers (reference warm_reset_worker);
+        * one forward generate+prove producer (reference
+          forward_warm_reset_worker) over ROTATING seed windows — unlike the
+          reference, which pins seeds 0..99 and reproduces the same 100
+          boards forever (SURVEY.md §3.5). ``forward=False`` disables it.
 
         Failure handling (the reference has none — a dead warm-reset worker
         silently starves reset() forever, SURVEY.md §5.3): a worker that dies
@@ -140,7 +201,7 @@ class ConfigBank:
         self._stop.clear()
         self._restarts = 0
 
-        def worker(tid: int) -> None:
+        def carve_worker(tid: int) -> None:
             rng = random.Random(hash((tid, id(self))) & 0xFFFFFFFF)
             while not self._stop.is_set():
                 fresh = []
@@ -149,16 +210,24 @@ class ConfigBank:
                         return
                     gen = CarvingGenerator(self.L, self.M, rng=rng)
                     fresh.append(gen.generate())
-                with self._lock:
-                    rows = self._np_rng.integers(0, self.capacity, len(fresh))
-                    for row, (b, p) in zip(rows, fresh):
-                        self._host_boards[row] = b
-                        self._host_pieces[row] = np.asarray(
-                            p[: self.P], dtype=np.int8
-                        )
-                    self._upload()
+                self._swap_rows(fresh, FAMILY_CARVE)
 
-        def supervised(tid: int) -> None:
+        def forward_worker(tid: int) -> None:
+            rng = random.Random(hash(("fwd", tid, id(self))) & 0xFFFFFFFF)
+            seed = forward_seed_start
+            while not self._stop.is_set():
+                games = generate_batch(
+                    self.L, self.M,
+                    seed_start=seed, seed_end=seed + forward_window,
+                )
+                seed += forward_window  # rotate — never replay a window
+                fresh = translate_batch(
+                    games, self.M, rng=rng, parity=self.parity_translate
+                )
+                if fresh and not self._stop.is_set():
+                    self._swap_rows(fresh, FAMILY_FORWARD)
+
+        def supervised(worker, tid: int) -> None:
             while not self._stop.is_set():
                 try:
                     worker(tid)
@@ -170,8 +239,13 @@ class ConfigBank:
                             raise
                     continue
 
-        for t in range(n_threads):
-            th = threading.Thread(target=supervised, args=(t,), daemon=True)
+        specs = [(carve_worker, t) for t in range(n_threads)]
+        if forward:
+            specs.append((forward_worker, 0))
+        for worker, t in specs:
+            th = threading.Thread(
+                target=supervised, args=(worker, t), daemon=True
+            )
             th.start()
             self._threads.append(th)
 
@@ -290,11 +364,8 @@ def make_holdout_bank(
     for i, (b, p) in enumerate(rows):
         bank._host_boards[i] = b
         bank._host_pieces[i] = p
+        bank._family[i] = FAMILY_FORWARD if i < n_forward_got else FAMILY_CARVE
     bank._fill_count = capacity
-    bank.family_counts = {
-        "forward": n_forward_got,
-        "carve": capacity - n_forward_got,
-    }
     bank._upload()
 
     if train_bank is not None:

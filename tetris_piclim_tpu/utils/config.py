@@ -66,6 +66,10 @@ class TrainConfig:
 
     num_envs: int = 1024        # vmapped envs stepped in lockstep
     bank_capacity: int = 1024   # device-resident winnable configs
+    # default bank family mix: 75% carved + 25% forward generate+prove —
+    # both reference producers (game/tetris.py:473-488) feed training, not
+    # just the carver. 1.0 = carve-only (round-1 behavior).
+    bank_carve_fraction: float = 0.75
     replay_capacity: int = 131072
     warmup_steps: int = 1000    # env steps before learning starts
     updates_per_step: int = 1   # learner updates per env step
