@@ -53,6 +53,39 @@ def test_refresh_includes_forward_family():
     assert bank.pieces.shape == (32, 9)
 
 
+def test_device_refresh_preserves_forward_rows():
+    """refresh_device regenerates carve rows with fresh configs but must not
+    touch host-produced forward-family rows."""
+    import jax
+    import numpy as np
+
+    bank = ConfigBank(1, 8, capacity=16, seed=0).fill(carve_fraction=0.5)
+    before = np.array(bank._host_boards)
+    fam = bank._family.copy()
+    bank.refresh_device(jax.random.PRNGKey(42))
+    after = np.array(bank._host_boards)
+    fwd = fam == 1
+    np.testing.assert_array_equal(after[fwd], before[fwd])
+    assert (after[~fwd] != before[~fwd]).any()  # carve rows turned over
+    np.testing.assert_array_equal(np.asarray(bank.boards), after)
+
+
+def test_trainer_device_refresh_loop():
+    """The trainer's per-chunk device refresh must run and keep learning."""
+    import numpy as np
+
+    cfg = TrainConfig(
+        env=EnvConfig(L=1, M=8),
+        num_envs=16, bank_capacity=16, replay_capacity=512,
+        warmup_steps=8, total_steps=12, log_every=4, seed=0,
+    )
+    trainer = DQNTrainer(cfg)
+    before = np.asarray(trainer.bank.boards).copy()
+    out = trainer.train(log_fn=None, device_refresh_every=1)
+    assert len(out["history"]) == 3
+    assert (np.asarray(trainer.bank.boards) != before).any()
+
+
 def test_refresh_rows_stay_winnable_shape():
     """Forward rows are padded/truncated to M+1 like carver rows."""
     bank = ConfigBank(2, 10, capacity=8, seed=2).fill(carve_fraction=0.5)

@@ -135,6 +135,7 @@ def cmd_train(args) -> int:
         trainer.train(
             log_fn=lambda msg: print(msg, file=sys.stderr),
             refresh_bank=args.refresh_bank,
+            device_refresh_every=args.device_refresh,
         )
     ev = trainer.evaluate(n_episodes=args.eval_episodes)
     ev = {"train_bank": ev}
@@ -396,6 +397,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--device-bank", action="store_true",
         help="fill the config bank on-device with the JAX carver",
+    )
+    p.add_argument(
+        "--device-refresh", type=int, default=0, metavar="K",
+        help="regenerate carve-family bank rows on device every K chunks "
+             "(effectively infinite training distribution; 0 = static bank)",
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument(

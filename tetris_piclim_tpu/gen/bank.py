@@ -137,29 +137,59 @@ class ConfigBank:
         self.boards = jax.device_put(jnp.asarray(self._host_boards), **kwargs)
         self.pieces = jax.device_put(jnp.asarray(self._host_pieces), **kwargs)
 
+    def _device_batch(self, key):
+        from ..ops.bitboard import unpack_board
+        from .jax_carver import generate_batch_device_jit
+
+        batch = generate_batch_device_jit(
+            key, n=self.capacity, L=self.L, M=self.M
+        )
+        return unpack_board(batch.boards), batch.pieces
+
     def fill_device(self, key=None) -> "ConfigBank":
         """Fill the whole bank ON DEVICE with the vectorized JAX carver
         (gen/jax_carver.py) — no host generation at all. Orders of magnitude
         faster than :meth:`fill`; use :meth:`fill` when bit-exact host-carver
         parity or forward-generator diversity is wanted."""
-        from ..ops.bitboard import unpack_board
-        from .jax_carver import generate_batch_device
-
         if key is None:
             key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
-        batch = jax.jit(
-            generate_batch_device, static_argnames=("n", "L", "M")
-        )(key, n=self.capacity, L=self.L, M=self.M)
-        boards = unpack_board(batch.boards)
+        boards, pieces = self._device_batch(key)
         kwargs = {"device": self._device} if self._device is not None else {}
         self.boards = jax.device_put(boards, **kwargs)
-        self.pieces = jax.device_put(batch.pieces, **kwargs)
+        self.pieces = jax.device_put(pieces, **kwargs)
         # np.array (copy): np.asarray of a jax array is a READ-ONLY view,
         # which would break later in-place refresh writes
         self._host_boards = np.array(boards)
-        self._host_pieces = np.array(batch.pieces)
+        self._host_pieces = np.array(pieces)
         self._family[:] = FAMILY_CARVE
         self._fill_count = self.capacity
+        return self
+
+    def refresh_device(self, key=None) -> "ConfigBank":
+        """Regenerate every CARVE-family row on device with fresh configs;
+        forward-family rows (host generate+prove producer) are preserved.
+
+        Called between training chunks this makes the training distribution
+        effectively infinite — the TPU-native answer to bank memorization
+        (the carver emits tens of thousands of configs/s on chip, so the
+        whole bank turns over every chunk for ~ms of device time)."""
+        if key is None:
+            key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
+        with self._lock:
+            boards_new, pieces_new = self._device_batch(key)
+            carve = jnp.asarray(self._family == FAMILY_CARVE)
+            boards = jnp.where(
+                carve[:, None, None], boards_new, jnp.asarray(self._host_boards)
+            )
+            pieces = jnp.where(
+                carve[:, None], pieces_new, jnp.asarray(self._host_pieces)
+            )
+            kwargs = {"device": self._device} if self._device is not None else {}
+            self.boards = jax.device_put(boards, **kwargs)
+            self.pieces = jax.device_put(pieces, **kwargs)
+            # host mirror stays authoritative for the async host producers
+            self._host_boards = np.array(boards)
+            self._host_pieces = np.array(pieces)
         return self
 
     # -- async refresh ------------------------------------------------------

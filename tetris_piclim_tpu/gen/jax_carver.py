@@ -213,3 +213,10 @@ def generate_batch_device(
         locations=locations.astype(jnp.int8),
         n_moves=jnp.where(done, n_mv, 0),
     )
+
+
+# one module-level jit wrapper so repeated callers (per-chunk bank refresh)
+# hit the compile cache instead of re-tracing a fresh jax.jit each call
+generate_batch_device_jit = jax.jit(
+    generate_batch_device, static_argnames=("n", "L", "M", "max_iters")
+)
