@@ -8,18 +8,18 @@ per-step table/bank lookups become one-hot matmuls on the MXU (Mosaic has no
 general vector gather; one-hot contraction is the TPU idiom for tiny-table
 lookups).
 
-Semantics per step are bitboard.step + bank auto-reset, with two deliberate
-bench-local simplifications (documented, NOT used for training):
-* actions come from the in-kernel PRNG (pltpu.prng_random_bits) — this is
-  the random-policy rollout workload of bench.py;
-* uniform ints use multiply-shift range reduction, which has O(2^-16)
-  modulo bias — irrelevant for a throughput benchmark.
+Semantics per step are bitboard.step + bank auto-reset. Actions come either
+from a scripted stream (``actions=`` — the verification path) or from the
+in-kernel PRNG (pltpu.prng_random_bits — the bench.py random-policy
+workload). PRNG uniform ints use multiply-shift range reduction, which has
+O(2^-16) modulo bias — irrelevant for a throughput benchmark.
 
-Step-equivalence of the board math against bitboard.step is asserted
-bit-exactly by tests/test_pallas_rollout.py: in interpret mode the TPU PRNG
-yields all-zero bits, making the kernel's policy deterministic (rot=0,
-loc=0, reset to bank row 0), and the test replays exactly that policy
-through the scan engine. The live RNG path is validated on hardware by
+Step-equivalence against bitboard.step is asserted bit-exactly by
+tests/test_pallas_rollout.py at full fuzz depth: scripted streams of varied
+rotations/locations/bank-resets over adversarial boards (multi-line clears,
+top-outs, win-on-last-move) must reproduce the scan engine's state
+word-for-word, plus the degenerate zero-policy case (interpret-mode PRNG
+yields all-zero bits). The live RNG path is validated on hardware by
 benchmarks/bench_pallas.py (dispersion check).
 """
 
@@ -69,15 +69,26 @@ _COLMASK4, _RTOPO4, _WIDTH28, _HEIGHT28, _NROT7 = _build_small_tables()
 
 
 def _kernel(
-    seed_ref, cols_ref, pieces_ref, cursor_ref, lines_ref, moves_ref,
-    status_ref, lg_ref, ml_ref, bank_cols_ref, bank_pieces_ref,
-    colmask_ref, rtopo_ref, width_ref, height_ref, nrot_ref,
-    out_cols_ref, out_pieces_ref, out_cursor_ref, out_lines_ref,
-    out_moves_ref, out_status_ref, out_stats_ref,
-    *, n_steps: int, tile: int, bank: int, pieces_len: int,
+    *refs,
+    n_steps: int, tile: int, bank: int, pieces_len: int,
+    with_actions: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    (seed_ref, cols_ref, pieces_ref, cursor_ref, lines_ref, moves_ref,
+     status_ref, lg_ref, ml_ref, bank_cols_ref, bank_pieces_ref,
+     colmask_ref, rtopo_ref, width_ref, height_ref, nrot_ref) = refs[:16]
+    if with_actions:
+        # scripted action/reset streams, [n_steps, tile] rows per block —
+        # the verification path (tests drive varied rotations/locations/
+        # resets and demand bit-equality vs bitboard.step)
+        rots_in_ref, locs_in_ref, idx_in_ref = refs[16:19]
+        outs = refs[19:]
+    else:
+        outs = refs[16:]
+    (out_cols_ref, out_pieces_ref, out_cursor_ref, out_lines_ref,
+     out_moves_ref, out_status_ref, out_stats_ref) = outs
 
     pid = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + pid)
@@ -107,8 +118,11 @@ def _kernel(
         cur_onehot = (onehot_piece_iota == cursor[:, None]).astype(f32)
         piece = jnp.sum(cur_onehot * pieces_f, axis=1).astype(jnp.int32)
 
-        # --- random action ---
-        rot_raw = rand_uniform_int(jnp.full((), 4.0, f32))
+        # --- action: scripted stream or in-kernel PRNG ---
+        if with_actions:
+            rot_raw = rots_in_ref[pl.ds(step, 1), :][0, :]
+        else:
+            rot_raw = rand_uniform_int(jnp.full((), 4.0, f32))
         # nrot lookup via 7-wide one-hot
         p_onehot7 = (
             jax.lax.broadcasted_iota(jnp.int32, (tile, 7), 1) == piece[:, None]
@@ -126,7 +140,10 @@ def _kernel(
         rt4 = jnp.dot(oh28, rtopo_ref[:],
                       preferred_element_type=f32)            # [tile, 4]
 
-        loc_raw = rand_uniform_int(jnp.full((), 10.0, f32))
+        if with_actions:
+            loc_raw = locs_in_ref[pl.ds(step, 1), :][0, :]
+        else:
+            loc_raw = rand_uniform_int(jnp.full((), 10.0, f32))
         loc = jnp.minimum(loc_raw, W - w)
 
         # --- align 4-wide piece columns onto the 10 board columns ---
@@ -188,7 +205,10 @@ def _kernel(
         won = status_n == WINS
 
         # --- auto-reset from the bank (one-hot contraction) ---
-        idx = rand_uniform_int(jnp.full((), float(bank), f32))
+        if with_actions:
+            idx = idx_in_ref[pl.ds(step, 1), :][0, :]
+        else:
+            idx = rand_uniform_int(jnp.full((), float(bank), f32))
         b_onehot = (onehot_bank_iota == idx[:, None]).astype(f32)
         fresh_cols = jnp.dot(
             b_onehot, bank_cols_ref[:], preferred_element_type=f32
@@ -245,9 +265,16 @@ def rollout_fused(
     n_steps: int,
     tile: int = 1024,
     interpret: bool = False,
+    actions=None,             # optional (rots, locs, reset_idx), each [n_steps, N]
 ):
-    """Run ``n_steps`` random-policy steps fully inside a Pallas kernel.
-    Returns (final PackedState-like fields, episodes, wins)."""
+    """Run ``n_steps`` fused env steps inside a Pallas kernel.
+
+    ``actions=None`` (the bench path) draws random actions from the
+    in-kernel TPU PRNG. ``actions=(rots, locs, reset_idx)`` replays scripted
+    int32 streams of shape [n_steps, N] — the verification path used by
+    tests/test_pallas_rollout.py to fuzz the board math (varied rotations,
+    locations, multi-line clears, bank resets) bit-exactly against
+    bitboard.step. Returns (final PackedState, episodes, wins)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -265,7 +292,8 @@ def rollout_fused(
         return x.reshape(n, 1).astype(jnp.int32)
 
     kernel = functools.partial(
-        _kernel, n_steps=n_steps, tile=tile, bank=bank, pieces_len=pieces_len
+        _kernel, n_steps=n_steps, tile=tile, bank=bank, pieces_len=pieces_len,
+        with_actions=actions is not None,
     )
     row_spec = lambda width, dtype=None: pl.BlockSpec(
         (tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -274,21 +302,47 @@ def rollout_fused(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+        row_spec(10),                            # cols
+        row_spec(pieces_len),                    # pieces
+        row_spec(1), row_spec(1), row_spec(1),   # cursor, lines, moves
+        row_spec(1), row_spec(1), row_spec(1),   # status, lg, ml
+        rep_spec((bank, 10)),                    # bank cols (f32)
+        rep_spec((bank, pieces_len)),            # bank pieces (f32)
+        rep_spec((P28, 4)), rep_spec((P28, 4)),  # colmask, rtopo
+        rep_spec((P28,)), rep_spec((P28,)),      # width, height
+        rep_spec((7,)),                          # nrot
+    ]
+    operands = [
+        jnp.asarray([seed], jnp.int32),
+        state.cols,
+        state.pieces.astype(jnp.int32),
+        col2(state.cursor), col2(state.lines_cleared), col2(state.moves_used),
+        col2(state.status), col2(state.lines_goal), col2(state.move_limit),
+        bank_cols.astype(jnp.float32),
+        bank_pieces.astype(jnp.float32),
+        jnp.asarray(_COLMASK4), jnp.asarray(_RTOPO4),
+        jnp.asarray(_WIDTH28), jnp.asarray(_HEIGHT28), jnp.asarray(_NROT7),
+    ]
+    if actions is not None:
+        rots_a, locs_a, idx_a = actions
+        assert rots_a.shape == (n_steps, n), (rots_a.shape, (n_steps, n))
+        # [n_steps, tile] per block: whole step axis, env-tiled lane axis
+        act_spec = pl.BlockSpec(
+            (n_steps, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        in_specs += [act_spec, act_spec, act_spec]
+        operands += [
+            jnp.asarray(rots_a, jnp.int32),
+            jnp.asarray(locs_a, jnp.int32),
+            jnp.asarray(idx_a, jnp.int32),
+        ]
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-            row_spec(10),                            # cols
-            row_spec(pieces_len),                    # pieces
-            row_spec(1), row_spec(1), row_spec(1),   # cursor, lines, moves
-            row_spec(1), row_spec(1), row_spec(1),   # status, lg, ml
-            rep_spec((bank, 10)),                    # bank cols (f32)
-            rep_spec((bank, pieces_len)),            # bank pieces (f32)
-            rep_spec((P28, 4)), rep_spec((P28, 4)),  # colmask, rtopo
-            rep_spec((P28,)), rep_spec((P28,)),      # width, height
-            rep_spec((7,)),                          # nrot
-        ],
+        in_specs=in_specs,
         out_specs=[
             row_spec(10),
             row_spec(pieces_len),
@@ -305,17 +359,7 @@ def rollout_fused(
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        jnp.asarray([seed], jnp.int32),
-        state.cols,
-        state.pieces.astype(jnp.int32),
-        col2(state.cursor), col2(state.lines_cleared), col2(state.moves_used),
-        col2(state.status), col2(state.lines_goal), col2(state.move_limit),
-        bank_cols.astype(jnp.float32),
-        bank_pieces.astype(jnp.float32),
-        jnp.asarray(_COLMASK4), jnp.asarray(_RTOPO4),
-        jnp.asarray(_WIDTH28), jnp.asarray(_HEIGHT28), jnp.asarray(_NROT7),
-    )
+    )(*operands)
     cols, pieces_out, cursor, lines, moves, status, stats = out
     stats_t = stats.reshape(grid[0], tile)
     episodes = stats_t[:, 0]
