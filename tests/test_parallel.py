@@ -69,6 +69,66 @@ def test_sharded_equals_single_device_numerics(mesh):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
+def test_sharded_episode_boundary(mesh):
+    """Envs must terminate AND auto-reset from the bank while sharded —
+    the one place GSPMD could insert a surprise collective (the
+    replicated-bank -> sharded-env gather)."""
+    cfg = TrainConfig(
+        env=EnvConfig(L=1, M=2),  # every env terminates within 2 moves
+        dqn=DQNConfig(batch_size=32),
+        num_envs=32,
+        bank_capacity=16,
+        replay_capacity=512,
+        warmup_steps=1,
+        total_steps=6,
+        log_every=6,
+        seed=0,
+    )
+    trainer = DQNTrainer(cfg)
+    shard_bank(mesh, trainer.bank)
+    trainer.state = shard_train_state(mesh, trainer.state)
+    ts, m = trainer._chunk(
+        trainer.state, trainer._bank_boards(), trainer.bank.pieces, n_steps=6
+    )
+    jax.block_until_ready(ts.params)
+    assert int(m.episodes) >= 32  # every env crossed >= 1 episode boundary
+    env_leaf = jax.tree.leaves(ts.env)[0]
+    assert len(env_leaf.sharding.device_set) == 8  # still sharded after reset
+
+
+def test_reset_path_has_no_collectives(mesh):
+    """The compiled HLO of step+auto-reset over sharded envs with a
+    REPLICATED bank must contain zero cross-device collectives: the
+    bank-row gather is device-local by construction (parallel/mesh.py
+    layout contract)."""
+    from tetris_piclim_tpu.ops import bitboard
+    from tetris_piclim_tpu.parallel import batch_sharding, replicate
+
+    n, bank_n, P = 64, 16, 9
+    key = jax.random.PRNGKey(0)
+    boards = jax.random.uniform(key, (bank_n, 20, 10)) < 0.2
+    boards = boards.at[:, :10].set(False)
+    bank_cols = replicate(mesh, bitboard.pack_board(boards))
+    bank_pieces = replicate(
+        mesh,
+        jax.random.randint(key, (bank_n, P), 0, 7, dtype=jax.numpy.int8),
+    )
+    row = batch_sharding(mesh)
+    idx = jax.numpy.arange(n) % bank_n
+    states = bitboard.make_state_batch(bank_cols[idx], bank_pieces[idx], 1, 2)
+    states = jax.tree.map(lambda a: jax.device_put(a, row), states)
+    rots = jax.device_put(jax.numpy.zeros((n,), jax.numpy.int32), row)
+    locs = jax.device_put(jax.numpy.zeros((n,), jax.numpy.int32), row)
+
+    fn = jax.jit(bitboard.step_autoreset_batch)
+    hlo = fn.lower(
+        states, rots, locs, bank_cols, bank_pieces, replicate(mesh, key)
+    ).compile().as_text()
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter", "ragged-all-to-all"):
+        assert op not in hlo, f"unexpected collective on the reset path: {op}"
+
+
 def test_divisibility_contract(mesh):
     trainer = DQNTrainer(
         TrainConfig(
