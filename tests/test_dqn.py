@@ -204,6 +204,10 @@ def test_learning_improves_win_rate():
         env=EnvConfig(L=1, M=10),
         num_envs=128, bank_capacity=128, replay_capacity=32768,
         warmup_steps=500, total_steps=4000, log_every=1000, seed=1,
+        # carve-only bank: this test asserts LEARNING at a tiny CPU budget;
+        # the mixed-family default makes the task family strictly harder
+        # (forward boards have no prepared near-complete line)
+        bank_carve_fraction=1.0,
     )
     tr = DQNTrainer(cfg)
     before = tr.evaluate(n_episodes=512)["win_rate"]

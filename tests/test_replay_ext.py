@@ -193,6 +193,28 @@ def test_priority_update_and_fresh_write_max():
     np.testing.assert_allclose(np.asarray(r.priority)[4:6], 5.001, rtol=1e-6)
 
 
+def test_per_beta_anneal_schedule():
+    """beta must anneal linearly per_beta -> 1 over training (Schaul et al.
+    §3.4); a fixed beta leaves the IS correction permanently biased."""
+    import jax.numpy as jnp
+
+    from tetris_piclim_tpu.dqn.agent import per_beta_schedule
+    from tetris_piclim_tpu.utils.config import DQNConfig
+
+    cfg = DQNConfig(prioritized=True, per_beta=0.4)
+    total = 1000
+    assert float(per_beta_schedule(jnp.int32(0), cfg, total)) == pytest.approx(0.4)
+    assert float(per_beta_schedule(jnp.int32(500), cfg, total)) == pytest.approx(0.7)
+    assert float(per_beta_schedule(jnp.int32(1000), cfg, total)) == pytest.approx(1.0)
+    assert float(per_beta_schedule(jnp.int32(5000), cfg, total)) == pytest.approx(1.0)
+    # explicit horizon override
+    cfg2 = DQNConfig(prioritized=True, per_beta=0.4, per_beta_steps=100)
+    assert float(per_beta_schedule(jnp.int32(100), cfg2, total)) == pytest.approx(1.0)
+    # anneal disabled -> constant
+    cfg3 = DQNConfig(prioritized=True, per_beta=0.4, per_beta_anneal=False)
+    assert float(per_beta_schedule(jnp.int32(900), cfg3, total)) == pytest.approx(0.4)
+
+
 def test_trainer_smoke_nstep_per():
     """End-to-end: fused trainer with n_step=3 + PER learns with finite loss
     on CPU and evaluation still terminates every episode."""

@@ -104,6 +104,18 @@ def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
     )
 
 
+def per_beta_schedule(step: jax.Array, cfg: DQNConfig, total_steps: int) -> jax.Array:
+    """PER importance-sampling exponent annealed linearly beta0 -> 1 over
+    training (Schaul et al. 2016 §3.4 — the IS correction must reach full
+    strength by convergence or the update stays permanently biased).
+    ``cfg.per_beta_steps`` overrides the horizon; 0 uses ``total_steps``."""
+    if not cfg.per_beta_anneal:
+        return jnp.float32(cfg.per_beta)
+    horizon = cfg.per_beta_steps if cfg.per_beta_steps > 0 else total_steps
+    frac = jnp.minimum(step.astype(jnp.float32) / float(max(horizon, 1)), 1.0)
+    return cfg.per_beta + (1.0 - cfg.per_beta) * frac
+
+
 def learner_update(
     params,
     target_params,
@@ -115,6 +127,7 @@ def learner_update(
     optimizer: optax.GradientTransformation,
     cfg: DQNConfig,
     step_gap: int,
+    beta=None,
 ):
     """One replay-sampled TD update + Polyak target step (jittable).
 
@@ -138,7 +151,7 @@ def learner_update(
         step_gap=step_gap,
         prioritized=cfg.prioritized,
         alpha=cfg.per_alpha,
-        beta=cfg.per_beta,
+        beta=cfg.per_beta if beta is None else beta,
     )
     (loss, aux), grads = jax.value_and_grad(td_loss, has_aux=True)(
         params, target_params, apply_fn, batch, cfg

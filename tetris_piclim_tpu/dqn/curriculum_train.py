@@ -81,7 +81,7 @@ class CurriculumTrainer:
         K = self.n_levels
 
         def learn(args):
-            params, target_params, opt_state, rpl, k = args
+            params, target_params, opt_state, rpl, k, beta = args
 
             def one(carry, kk):
                 params, target_params, opt_state, rpl = carry
@@ -92,6 +92,7 @@ class CurriculumTrainer:
                         optimizer=self.optimizer,
                         cfg=dqn,
                         step_gap=self.cfg.num_envs,
+                        beta=beta,
                     )
                 )
                 return (params, target_params, opt_state, rpl), aux["loss"]
@@ -103,7 +104,7 @@ class CurriculumTrainer:
             return params, target_params, opt_state, rpl, losses.mean()
 
         def skip(args):
-            params, target_params, opt_state, rpl, _ = args
+            params, target_params, opt_state, rpl, _, _ = args
             return params, target_params, opt_state, rpl, jnp.float32(0)
 
         def body(ts: CurriculumState, _):
@@ -129,10 +130,14 @@ class CurriculumTrainer:
                 max(self.cfg.warmup_steps, dqn.batch_size)
                 + (dqn.n_step - 1) * self.cfg.num_envs
             )
+            beta = agent_lib.per_beta_schedule(
+                ts.global_step, dqn, self.cfg.total_steps
+            )
             params, target_params, opt_state, rpl, loss = jax.lax.cond(
                 rpl.size >= min_size,
                 learn, skip,
-                (ts.params, ts.target_params, ts.opt_state, rpl, k_sample),
+                (ts.params, ts.target_params, ts.opt_state, rpl,
+                 k_sample, beta),
             )
             # per-level episode / win tallies
             eps_l = jax.ops.segment_sum(

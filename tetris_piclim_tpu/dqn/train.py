@@ -123,7 +123,7 @@ class DQNTrainer:
         n_upd = max(1, self.cfg.updates_per_step)
 
         def learn(args):
-            params, target_params, opt_state, rpl, k = args
+            params, target_params, opt_state, rpl, k, beta = args
 
             def one_update(i, carry):
                 params, target_params, opt_state, rpl, _, _ = carry
@@ -135,6 +135,7 @@ class DQNTrainer:
                         optimizer=self.optimizer,
                         cfg=dqn,
                         step_gap=self.cfg.num_envs,
+                        beta=beta,
                     )
                 )
                 return (params, target_params, opt_state, rpl,
@@ -149,7 +150,7 @@ class DQNTrainer:
                     loss, q_mean, jnp.int32(n_upd))
 
         def skip(args):
-            params, target_params, opt_state, rpl, _ = args
+            params, target_params, opt_state, rpl, _, _ = args
             return (params, target_params, opt_state, rpl,
                     jnp.float32(0), jnp.float32(0), jnp.int32(0))
 
@@ -179,12 +180,16 @@ class DQNTrainer:
                 max(self.cfg.warmup_steps, dqn.batch_size)
                 + (dqn.n_step - 1) * self.cfg.num_envs
             )
+            beta = agent_lib.per_beta_schedule(
+                ts.global_step, dqn, self.cfg.total_steps
+            )
             params, target_params, opt_state, rpl, loss, q_mean, did = (
                 jax.lax.cond(
                     rpl.size >= min_size,
                     learn,
                     skip,
-                    (ts.params, ts.target_params, ts.opt_state, rpl, k_sample),
+                    (ts.params, ts.target_params, ts.opt_state, rpl,
+                     k_sample, beta),
                 )
             )
             new_ts = TrainState(

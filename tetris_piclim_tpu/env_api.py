@@ -188,14 +188,18 @@ class Tetris:
         if self.warm_reset:
             board, pieces = self._queue.get()
         else:
+            # render each accepted carve, like the reference's carve loop
+            # (game/tetris.py:264-265; render forces cold resets, :181-182)
+            render_fn = self.render_frame if self.render else None
             if self.debug:
                 board, pieces, solution = CarvingGenerator(
-                    self.L, self.M, rng=self._rng, record_solution=True
+                    self.L, self.M, rng=self._rng, record_solution=True,
+                    render_fn=render_fn,
                 ).generate()
                 self.solution = solution
             else:
                 board, pieces = CarvingGenerator(
-                    self.L, self.M, rng=self._rng
+                    self.L, self.M, rng=self._rng, render_fn=render_fn
                 ).generate()
         self._pieces_full = list(pieces)
         self._board = np.array(board, dtype=bool)

@@ -66,11 +66,21 @@ class CarvingGenerator:
     ``random.Random(seed)`` for isolated determinism.
     """
 
-    def __init__(self, L: int, M: int, rng=None, record_solution: bool = False):
+    def __init__(
+        self,
+        L: int,
+        M: int,
+        rng=None,
+        record_solution: bool = False,
+        render_fn=None,
+    ):
         self.L = L
         self.M = M
         self.rng = rng if rng is not None else _random_module
         self.record_solution = record_solution
+        # called with the board after each ACCEPTED carve — the reference
+        # renders the carve loop too (game/tetris.py:264-265)
+        self.render_fn = render_fn
 
     # -- drop math (shared with the engine's semantics) ---------------------
 
@@ -155,6 +165,8 @@ class CarvingGenerator:
                 if self.record_solution:
                     solution.insert(0, (rotations, location))
                 bag.remove(bag_idx)
+                if self.render_fn is not None:
+                    self.render_fn(board)
             else:
                 if len(pieces) >= self.M or backtracker.note_failure():
                     cp_board, cp_pieces = backtracker.pop_latest()

@@ -154,3 +154,23 @@ class GreedyDFSSolver:
         for name, rotation, col in stack:
             self._place(GEN_SHAPES[name][rotation], col)
         return self.lines_cleared
+
+    def visualize(self, board=None) -> str:
+        """Board as a printable grid (reference TetrisSolver.py:81-85)."""
+        if board is None:
+            board = self.board
+        return "\n".join(
+            " ".join(str(int(c)) for c in row) for row in board
+        )
+
+    def visualize_moves(self, stack, print_fn=print) -> int:
+        """Replay a solution stack printing each placement + board state
+        (reference TetrisSolver.py:165-172). Returns total lines cleared."""
+        self.reset()
+        for name, rotation, col in stack:
+            before = self.lines_cleared
+            self._place(GEN_SHAPES[name][rotation], col)
+            print_fn(f"Tetromino: {name}  Rotation: {rotation}  Column: {col}")
+            print_fn(f"Lines cleared: {self.lines_cleared - before}")
+            print_fn(self.visualize())
+        return self.lines_cleared

@@ -55,7 +55,9 @@ class DQNConfig:
     n_step: int = 1             # n-step returns (1 = the reference's 1-step TD)
     prioritized: bool = False   # proportional prioritized replay (PER)
     per_alpha: float = 0.6      # priority exponent
-    per_beta: float = 0.4       # importance-sampling exponent
+    per_beta: float = 0.4       # initial importance-sampling exponent
+    per_beta_anneal: bool = True  # anneal beta -> 1 over training (Schaul)
+    per_beta_steps: int = 0     # anneal horizon; 0 = the run's total_steps
     per_eps: float = 1e-3       # priority floor added to |td|
 
 
