@@ -53,18 +53,24 @@ def bench_device_carver(L=10, M=30, n=4096) -> dict:
 
 
 def bench_forward_pipeline(L=2, M=20) -> dict:
+    """Thread pool vs spawn-context process pool on the SAME seed range —
+    the greedy DFS prover is recursive Python over tiny arrays (GIL-bound),
+    so this measures whether the reference's process-pool design
+    (main.py:31) beats threads on this box. Reports both + the winner."""
     from tetris_piclim_tpu.gen.pipeline import generate_batch
 
-    t0 = time.time()
-    games = generate_batch(L, M, seed_start=0, seed_end=100)
-    dt = time.time() - t0
-    return {
-        "bench": "forward_pipeline_winnable_per_s", "L": L, "M": M,
-        "value": round(len(games) / dt, 2),
-        "winnable": len(games),
-        "batch_s": round(dt, 2),
-        "reference_2core": 19.4,  # BASELINE.md
-    }
+    out = {"bench": "forward_pipeline_winnable_per_s", "L": L, "M": M,
+           "reference_2core": 19.4}  # BASELINE.md
+    for ex in ("thread", "process"):
+        t0 = time.time()
+        games = generate_batch(L, M, seed_start=0, seed_end=100, executor=ex)
+        dt = time.time() - t0
+        out[ex] = round(len(games) / dt, 2)
+        out[f"{ex}_batch_s"] = round(dt, 2)
+        out["winnable"] = len(games)
+    out["value"] = max(out["thread"], out["process"])
+    out["winner"] = "thread" if out["thread"] >= out["process"] else "process"
+    return out
 
 
 if __name__ == "__main__":

@@ -157,3 +157,20 @@ def test_batch_pipeline_matches_reference_counts():
     our_seeds = {g.seed for g in ours}
     for seed, ok in enumerate(ref_winnable):
         assert (seed in our_seeds) == ok
+
+
+def test_forward_pipeline_process_pool_matches_threads():
+    """The spawn-context process-pool executor (the reference's design,
+    main.py:31) must produce the identical winnable-game set as the thread
+    pool — per-seed determinism makes them comparable row by row."""
+    import numpy as np
+
+    from tetris_piclim_tpu.gen.pipeline import generate_batch
+
+    g_thread = generate_batch(1, 10, seed_start=0, seed_end=10)
+    g_proc = generate_batch(1, 10, seed_start=0, seed_end=10,
+                            executor="process")
+    assert [g.seed for g in g_thread] == [g.seed for g in g_proc]
+    for a, b in zip(g_thread, g_proc):
+        np.testing.assert_array_equal(a.board, b.board)
+        assert a.sequence == b.sequence

@@ -51,15 +51,30 @@ def generate_batch(
     initial_height_max: int = DEFAULT_INITIAL_HEIGHT_MAX,
     max_attempts: int = DEFAULT_MAX_ATTEMPTS,
     workers: Optional[int] = None,
+    executor: str = "thread",
 ) -> list[ForwardGenerator]:
     """Generate + prove seeds [seed_start, seed_end); return winnable games
-    (reference ``generate_batch``, game/tetris_algo_main/main.py:26-95)."""
+    (reference ``generate_batch``, game/tetris_algo_main/main.py:26-95).
+
+    ``executor="process"`` uses a spawn-context process pool (the
+    reference's design, main.py:31) instead of threads; see
+    benchmarks/bench_generation.py for the measured thread-vs-process
+    comparison on this workload."""
     jobs = [
         (s, L, M, initial_height_max, max_attempts)
         for s in range(seed_start, seed_end)
     ]
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        results = list(pool.map(_prove_one, jobs))
+    if executor == "process":
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        # spawn, not fork: callers typically hold live JAX runtime threads
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
+            results = list(pool.map(_prove_one, jobs, chunksize=8))
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(_prove_one, jobs))
     return [g for g in results if g is not None]
 
 
