@@ -86,6 +86,31 @@ def test_trainer_device_refresh_loop():
     assert (np.asarray(trainer.bank.boards) != before).any()
 
 
+def test_dead_producer_is_restarted():
+    """Failure detection (reference gap, SURVEY.md §5.3): a producer process
+    that dies must be restarted by the consumer."""
+    bank = ConfigBank(1, 8, capacity=16, seed=3).fill_device()
+    bank.start_refresh(n_threads=1, batch_per_cycle=4, forward=False)
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not bank._procs[0].is_alive():
+            time.sleep(0.1)
+        victim = bank._procs[0]
+        victim.terminate()
+        victim.join(timeout=10)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = bank._procs[0]
+            if p.pid != victim.pid and p.is_alive():
+                break
+            time.sleep(0.2)
+        assert bank._procs[0].pid != victim.pid, "producer never restarted"
+        assert bank._restarts >= 1
+    finally:
+        bank.stop_refresh()
+    assert not any(p.is_alive() for p in getattr(bank, "_procs", []))
+
+
 def test_refresh_rows_stay_winnable_shape():
     """Forward rows are padded/truncated to M+1 like carver rows."""
     bank = ConfigBank(2, 10, capacity=8, seed=2).fill(carve_fraction=0.5)

@@ -17,6 +17,7 @@ Producers (mirroring the reference's two workers):
 
 from __future__ import annotations
 
+import multiprocessing
 import random
 import threading
 import time
@@ -27,11 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tables import BOARD_H, BOARD_W
+from ._producers import FAMILY_CARVE, FAMILY_FORWARD
 from .carver import CarvingGenerator
 from .pipeline import generate_batch, translate_batch
-
-FAMILY_CARVE = 0
-FAMILY_FORWARD = 1
 
 
 class ConfigBank:
@@ -215,7 +214,7 @@ class ConfigBank:
         forward_seed_start: int = 0,
         forward_window: int = 100,
     ) -> None:
-        """Background producer threads keep swapping fresh configs into
+        """Background producer PROCESSES keep swapping fresh configs into
         random rows — the reference's two-producer design
         (game/tetris.py:473-488), bank-resident instead of queue-fed:
 
@@ -225,67 +224,88 @@ class ConfigBank:
           reference, which pins seeds 0..99 and reproduces the same 100
           boards forever (SURVEY.md §3.5). ``forward=False`` disables it.
 
+        Processes, not threads: the generators are GIL-bound Python, and as
+        threads they stall the training dispatch loop (measured: training
+        sps dropped 4-6x under thread producers). A lightweight consumer
+        thread drains the queue and swaps rows (cheap numpy writes + device
+        re-upload). Spawn context — the parent holds live JAX threads.
+
         Failure handling (the reference has none — a dead warm-reset worker
-        silently starves reset() forever, SURVEY.md §5.3): a worker that dies
-        with an exception is restarted by the supervisor up to 5 times."""
+        silently starves reset() forever, SURVEY.md §5.3): a producer process
+        that dies is restarted by the consumer, up to 5 times total."""
+        from . import _producers
+
+        ctx = multiprocessing.get_context("spawn")
         self._stop.clear()
         self._restarts = 0
+        self._mp_stop = ctx.Event()
+        self._mp_queue = ctx.Queue(maxsize=8)
+        self._proc_specs = []
+        for t in range(n_threads):
+            self._proc_specs.append((
+                _producers.carve_producer,
+                (self._mp_queue, self._mp_stop, self.L, self.M,
+                 self._rng.randint(0, 2**31 - 1), batch_per_cycle),
+            ))
+        if forward:
+            self._proc_specs.append((
+                _producers.forward_producer,
+                (self._mp_queue, self._mp_stop, self.L, self.M,
+                 self.parity_translate, forward_seed_start, forward_window,
+                 self._rng.randint(0, 2**31 - 1)),
+            ))
+        self._procs = []
+        for fn, args in self._proc_specs:
+            p = ctx.Process(target=fn, args=args, daemon=True)
+            p.start()
+            self._procs.append(p)
 
-        def carve_worker(tid: int) -> None:
-            rng = random.Random(hash((tid, id(self))) & 0xFFFFFFFF)
-            while not self._stop.is_set():
-                fresh = []
-                for _ in range(batch_per_cycle):
-                    if self._stop.is_set():
-                        return
-                    gen = CarvingGenerator(self.L, self.M, rng=rng)
-                    fresh.append(gen.generate())
-                self._swap_rows(fresh, FAMILY_CARVE)
+        def consumer() -> None:
+            import queue as queue_mod
 
-        def forward_worker(tid: int) -> None:
-            rng = random.Random(hash(("fwd", tid, id(self))) & 0xFFFFFFFF)
-            seed = forward_seed_start
-            while not self._stop.is_set():
-                games = generate_batch(
-                    self.L, self.M,
-                    seed_start=seed, seed_end=seed + forward_window,
-                )
-                seed += forward_window  # rotate — never replay a window
-                fresh = translate_batch(
-                    games, self.M, rng=rng, parity=self.parity_translate
-                )
-                if fresh and not self._stop.is_set():
-                    self._swap_rows(fresh, FAMILY_FORWARD)
-
-        def supervised(worker, tid: int) -> None:
             while not self._stop.is_set():
                 try:
-                    worker(tid)
-                    return
-                except Exception:
-                    with self._lock:
-                        self._restarts += 1
-                        if self._restarts > 5:
-                            raise
+                    fam, items = self._mp_queue.get(timeout=0.2)
+                except queue_mod.Empty:
+                    # failure detection + restart (SURVEY.md §5.3 gap)
+                    for i, p in enumerate(self._procs):
+                        if (
+                            not p.is_alive()
+                            and not self._stop.is_set()
+                            and self._restarts < 5
+                        ):
+                            self._restarts += 1
+                            fn, args = self._proc_specs[i]
+                            np_ = ctx.Process(target=fn, args=args, daemon=True)
+                            np_.start()
+                            self._procs[i] = np_
                     continue
+                self._swap_rows(items, fam)
 
-        specs = [(carve_worker, t) for t in range(n_threads)]
-        if forward:
-            specs.append((forward_worker, 0))
-        for worker, t in specs:
-            th = threading.Thread(
-                target=supervised, args=(worker, t), daemon=True
-            )
-            th.start()
-            self._threads.append(th)
+        th = threading.Thread(target=consumer, daemon=True)
+        th.start()
+        self._threads.append(th)
 
     def stop_refresh(self) -> None:
-        """Clean shutdown — the analogue of the reference's Event + drain +
-        join protocol (game/tetris.py:451-466), without a queue to drain."""
+        """Clean shutdown — the reference's Event + drain + join protocol
+        (game/tetris.py:451-466): signal both stop events, drain the queue so
+        producers blocked on put() can exit, join everything."""
         self._stop.set()
+        if getattr(self, "_mp_stop", None) is not None:
+            self._mp_stop.set()
+            try:
+                while True:
+                    self._mp_queue.get_nowait()
+            except Exception:
+                pass
         for th in self._threads:
             th.join(timeout=30)
         self._threads.clear()
+        for p in getattr(self, "_procs", []):
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
+        self._procs = []
 
     # -- identity -------------------------------------------------------------
 
