@@ -86,6 +86,35 @@ def test_trainer_device_refresh_loop():
     assert (np.asarray(trainer.bank.boards) != before).any()
 
 
+def test_swap_rows_family_targeting():
+    """Carve writes must never evict forward rows (the carve producer is
+    ~1000x faster and would wash them out — measured 4091/5 at steady
+    state); forward writes grow to the share cap then recycle."""
+    import numpy as np
+
+    from tetris_piclim_tpu.gen._producers import FAMILY_CARVE, FAMILY_FORWARD
+
+    bank = ConfigBank(
+        1, 8, capacity=8, seed=0, forward_share_cap=0.25
+    ).fill_device()
+    fwd_board = np.zeros((20, 10), bool)
+    fwd_board[19, 0] = True
+    bank._swap_rows([(fwd_board, [1] * 9)] * 2, FAMILY_FORWARD)
+    assert bank.family_counts["forward"] == 2  # cap = 0.25 * 8
+    # at the cap: further forward writes recycle forward rows
+    bank._swap_rows([(fwd_board, [1] * 9)] * 2, FAMILY_FORWARD)
+    assert bank.family_counts["forward"] == 2
+    # carve writes target carve rows only
+    marked = bank._family.copy()
+    carve_board = np.zeros((20, 10), bool)
+    carve_board[19, 1] = True
+    for _ in range(5):
+        bank._swap_rows([(carve_board, [2] * 9)] * 4, FAMILY_CARVE)
+    assert bank.family_counts["forward"] == 2
+    fwd_idx = np.flatnonzero(marked == FAMILY_FORWARD)
+    assert (bank._host_pieces[fwd_idx] == 1).all()  # untouched by carve
+
+
 def test_dead_producer_is_restarted():
     """Failure detection (reference gap, SURVEY.md §5.3): a producer process
     that dies must be restarted by the consumer."""

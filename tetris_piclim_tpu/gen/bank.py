@@ -48,12 +48,15 @@ class ConfigBank:
         seed: int = 0,
         device=None,
         parity_translate: bool = False,
+        forward_share_cap: float = 0.25,
     ) -> None:
         self.L = L
         self.M = M
         # reproduce the reference's prepended-random-first-piece quirk in
         # forward-family rows (game/tetris.py:19-20)? SURVEY.md §7 policy.
         self.parity_translate = parity_translate
+        # async refresh: ceiling on the forward-family share of the bank
+        self.forward_share_cap = forward_share_cap
         self.capacity = capacity
         self.P = M + 1
         self._rng = random.Random(seed)
@@ -194,10 +197,30 @@ class ConfigBank:
     # -- async refresh ------------------------------------------------------
 
     def _swap_rows(self, fresh: list, family: int) -> None:
-        """Replace random rows with fresh configs and re-upload (host
-        double-buffer; device arrays replaced atomically by rebinding)."""
+        """Replace rows with fresh configs and re-upload (host double-buffer;
+        device arrays replaced atomically by rebinding).
+
+        Family-aware targeting: the carve producer is orders of magnitude
+        faster than the forward prover, so uniform-random targets would wash
+        the forward rows out of the bank within seconds (measured: 4091/5 at
+        steady state). Carve writes only replace carve rows; forward writes
+        replace carve rows until the forward share reaches
+        ``forward_share_cap`` of capacity, then recycle forward rows."""
         with self._lock:
-            rows = self._np_rng.integers(0, self.capacity, len(fresh))
+            if family == FAMILY_FORWARD:
+                cap_rows = int(self.capacity * self.forward_share_cap)
+                n_fwd = int((self._family == FAMILY_FORWARD).sum())
+                pool_family = (
+                    FAMILY_FORWARD if n_fwd >= cap_rows else FAMILY_CARVE
+                )
+            else:
+                pool_family = FAMILY_CARVE
+            pool = np.flatnonzero(self._family == pool_family)
+            if len(pool) == 0:
+                pool = np.arange(self.capacity)
+            rows = self._np_rng.choice(
+                pool, size=len(fresh), replace=len(pool) < len(fresh)
+            )
             for row, (b, p) in zip(rows, fresh):
                 self._host_boards[row] = b
                 seq = (list(p) + [0] * self.P)[: self.P]
