@@ -369,29 +369,34 @@ class DQNTrainer:
             bank.boards[idx], bank.pieces[idx], cfg.env.L, cfg.env.M
         )
 
-        @jax.jit
-        def run(params, env):
-            def body(env, _):
-                obs = self.backend.observe_batch(env)
-                rot, col = agent_lib.select_actions(
-                    self.apply_fn, params, obs,
-                    jnp.float32(0.0), jax.random.PRNGKey(0),
-                )
-                res = self.backend.step_batch(env, rot, col)
-                # freeze finished envs
-                keep = env.status != engine.RUNNING
-                nxt = jax.tree.map(
-                    lambda a, b: jnp.where(
-                        keep.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
-                    ),
-                    env, res.state,
-                )
-                return nxt, None
+        # one cached jit per trainer — evaluate() may run several times per
+        # session (train bank + holdout) and a fresh jax.jit every call would
+        # re-trace (~30-60s per compile on the remote TPU tunnel)
+        if not hasattr(self, "_eval_run"):
+            def run(params, env):
+                def body(env, _):
+                    obs = self.backend.observe_batch(env)
+                    rot, col = agent_lib.select_actions(
+                        self.apply_fn, params, obs,
+                        jnp.float32(0.0), jax.random.PRNGKey(0),
+                    )
+                    res = self.backend.step_batch(env, rot, col)
+                    # freeze finished envs
+                    keep = env.status != engine.RUNNING
+                    nxt = jax.tree.map(
+                        lambda a, b: jnp.where(
+                            keep.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                        ),
+                        env, res.state,
+                    )
+                    return nxt, None
 
-            env, _ = jax.lax.scan(body, env, None, length=cfg.env.M + 1)
-            return env
+                env, _ = jax.lax.scan(body, env, None, length=cfg.env.M + 1)
+                return env
 
-        final = run(self.state.params, env)
+            self._eval_run = jax.jit(run)
+
+        final = self._eval_run(self.state.params, env)
         status = np.asarray(final.status)
         return {
             "episodes": n_episodes,
