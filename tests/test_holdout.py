@@ -68,6 +68,17 @@ def test_trainer_evaluates_on_holdout(train_bank, holdout):
         assert 0.0 <= ev["win_rate"] <= 1.0
 
 
+def test_holdout_family_subsets(holdout):
+    from tetris_piclim_tpu.gen.bank import FAMILY_CARVE, FAMILY_FORWARD
+
+    carve = holdout.subset(FAMILY_CARVE)
+    fwd = holdout.subset(FAMILY_FORWARD)
+    assert carve is not None and fwd is not None
+    assert carve.capacity + fwd.capacity == holdout.capacity
+    assert carve.boards.shape[0] == carve.capacity
+    assert not (carve.row_keys() & fwd.row_keys())
+
+
 def test_holdout_collision_replacement():
     """Rows colliding with the training bank must be dropped: feed the
     holdout builder a 'training bank' that IS a holdout-like bank built from

@@ -140,7 +140,7 @@ def cmd_train(args) -> int:
     ev = trainer.evaluate(n_episodes=args.eval_episodes)
     ev = {"train_bank": ev}
     if args.eval_holdout:
-        from .gen.bank import make_holdout_bank
+        from .gen.bank import FAMILY_CARVE, FAMILY_FORWARD, make_holdout_bank
 
         holdout = make_holdout_bank(
             cfg.env.L, cfg.env.M, capacity=args.holdout_bank,
@@ -149,6 +149,15 @@ def cmd_train(args) -> int:
         ev["holdout"] = trainer.evaluate(
             n_episodes=args.eval_episodes, bank=holdout
         )
+        ev["holdout"]["families"] = holdout.family_counts
+        # per-family breakdown: within-family generalization (carve) vs
+        # cross-family transfer (forward)
+        for name, fam in (("carve", FAMILY_CARVE), ("forward", FAMILY_FORWARD)):
+            sub = holdout.subset(fam)
+            if sub is not None:
+                ev[f"holdout_{name}"] = trainer.evaluate(
+                    n_episodes=args.eval_episodes, bank=sub
+                )
     logger.log({"final_eval": ev})
     print(json.dumps(ev))
     if args.checkpoint:

@@ -330,6 +330,21 @@ class ConfigBank:
                 p.terminate()
         self._procs = []
 
+    def subset(self, family: int) -> Optional["ConfigBank"]:
+        """A new bank holding only this family's rows (None if empty) —
+        used for per-family evaluation breakdowns."""
+        idx = np.flatnonzero(self._family == family)
+        if len(idx) == 0:
+            return None
+        sub = ConfigBank(self.L, self.M, capacity=len(idx), seed=0,
+                         device=self._device)
+        sub._host_boards = self._host_boards[idx].copy()
+        sub._host_pieces = self._host_pieces[idx].copy()
+        sub._family[:] = family
+        sub._fill_count = len(idx)
+        sub._upload()
+        return sub
+
     # -- identity -------------------------------------------------------------
 
     def row_keys(self) -> set[bytes]:
