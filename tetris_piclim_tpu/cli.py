@@ -61,6 +61,7 @@ def cmd_train(args) -> int:
             total_steps=args.steps,
             log_every=args.log_every,
             updates_per_step=args.updates,
+            actor_fusion=args.actor_fusion,
             seed=args.seed,
             checkpoint_dir=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
@@ -363,6 +364,9 @@ def main(argv=None) -> int:
     p.add_argument("--log-every", type=int, default=1000)
     p.add_argument("--updates", type=int, default=1,
                    help="learner updates per env step (replay ratio knob)")
+    p.add_argument("--actor-fusion", type=int, default=0, metavar="K",
+                   help="run the fused Pallas actor kernel for K env steps "
+                        "per learner phase (plain MLP only; 0 = XLA actor)")
     p.add_argument("--n-step", type=int, default=1,
                    help="n-step returns (1 = reference-spec 1-step TD)")
     p.add_argument("--eps-decay", type=float, default=1000.0,

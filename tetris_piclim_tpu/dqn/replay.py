@@ -120,6 +120,22 @@ def replay_add(
 ) -> ReplayState:
     """Contiguous ring write of N transitions. Requires capacity % N == 0
     (checked at trace time) so the window never wraps."""
+    cols, cur, nxt, ll, ml, _ = _fields(state_before)
+    n_cols, n_cur, n_nxt, n_ll, n_ml, n_st = _fields(state_after)
+    return replay_add_fields(
+        r, cols, cur, nxt, ll, ml, rot, col, reward, done,
+        n_cols, n_cur, n_nxt, n_ll, n_ml, n_st,
+    )
+
+
+def replay_add_fields(
+    r: ReplayState,
+    cols, cur, nxt, ll, ml,
+    rot, col, reward, done,
+    n_cols, n_cur, n_nxt, n_ll, n_ml, n_st,
+) -> ReplayState:
+    """replay_add on pre-extracted packed fields — the fused actor kernel
+    (ops/pallas_actor.py) emits transitions in exactly this layout."""
     n = rot.shape[0]
     cap = r.cols.shape[0]
     if cap % n != 0:
@@ -127,8 +143,6 @@ def replay_add(
             f"replay capacity ({cap}) must be a multiple of the per-step "
             f"batch ({n}) for wrap-free contiguous writes"
         )
-    cols, cur, nxt, ll, ml, _ = _fields(state_before)
-    n_cols, n_cur, n_nxt, n_ll, n_ml, n_st = _fields(state_after)
     pos = r.pos
 
     def put(buf, val):

@@ -96,9 +96,39 @@ class DQNTrainer:
             global_step=jnp.int32(0),
             updates_done=jnp.int32(0),
         )
-        self._chunk = jax.jit(
-            partial(self._chunk_impl), static_argnames=("n_steps",)
-        )
+        if cfg.actor_fusion > 0:
+            from ..models.qnet import ACTION_DIM as _AD, JOINT_DIM as _JD
+            from ..models.qnet import QNetwork as _QN
+
+            if not (
+                isinstance(self.net, _QN)
+                and not self.net.dueling
+                and self.backend is bitboard
+            ):
+                raise ValueError(
+                    "actor_fusion requires the plain (non-dueling) MLP "
+                    "QNetwork on the bitboard backend — the fused kernel "
+                    "runs that exact forward in VMEM"
+                )
+            self._head_dim = _JD if self.net.joint else _AD
+            # largest power-of-two tile dividing the env batch, <= 512
+            tile = 8
+            while tile * 2 <= min(512, cfg.num_envs) and cfg.num_envs % (tile * 2) == 0:
+                tile *= 2
+            self._fused_tile = tile
+            if jax.default_backend() == "tpu":
+                self._fused_interpret = False
+            else:  # CPU tests drive the kernel through the interpreter
+                from jax.experimental.pallas import tpu as pltpu
+
+                self._fused_interpret = pltpu.InterpretParams()
+            self._chunk = jax.jit(
+                partial(self._chunk_fused_impl), static_argnames=("n_steps",)
+            )
+        else:
+            self._chunk = jax.jit(
+                partial(self._chunk_impl), static_argnames=("n_steps",)
+            )
 
     # -- core jitted chunk ---------------------------------------------------
 
@@ -217,6 +247,138 @@ class DQNTrainer:
         totals = ChunkMetrics(*[m.sum(axis=0) for m in ms])
         return ts, totals
 
+    def _chunk_fused_impl(
+        self,
+        ts: TrainState,
+        bank_boards: jax.Array,   # uint32[B, 10] packed
+        bank_pieces: jax.Array,
+        n_steps: int,
+    ) -> tuple[TrainState, ChunkMetrics]:
+        """Fused-actor chunk: the Pallas actor kernel runs K env steps with
+        VMEM-resident weights/state, then the learner runs K * updates_per_step
+        updates on the recorded transitions. Policy lag is K steps (vs 1 in
+        :meth:`_chunk_impl`) — at K=8-16 a fraction of replay staleness.
+
+        The kernel resets from a KB-row window of the bank, sliding randomly
+        per phase: a [tile, B] one-hot over the full 4096-row bank would blow
+        VMEM, and with per-chunk device regeneration the window loses no
+        diversity."""
+        from ..ops.pallas_actor import actor_rollout_fused
+
+        dqn = self.cfg.dqn
+        e = self.cfg.env
+        K = self.cfg.actor_fusion
+        outer = n_steps // K
+        assert outer * K == n_steps, (n_steps, K)
+        n_upd = max(1, self.cfg.updates_per_step) * K
+        B = bank_boards.shape[0]
+        KB = min(256, B)
+
+        def learn(args):
+            params, target_params, opt_state, rpl, k, beta = args
+
+            def one_update(i, carry):
+                params, target_params, opt_state, rpl, _, _ = carry
+                k_i = jax.random.fold_in(k, i)
+                params, target_params, opt_state, rpl, aux = (
+                    agent_lib.learner_update(
+                        params, target_params, opt_state, rpl, k_i,
+                        apply_fn=self.apply_fn,
+                        optimizer=self.optimizer,
+                        cfg=dqn,
+                        step_gap=self.cfg.num_envs,
+                        beta=beta,
+                    )
+                )
+                return (params, target_params, opt_state, rpl,
+                        aux["loss"], aux["q_mean"])
+
+            carry = (params, target_params, opt_state, rpl,
+                     jnp.float32(0), jnp.float32(0))
+            params, target_params, opt_state, rpl, loss, q_mean = (
+                jax.lax.fori_loop(0, n_upd, one_update, carry)
+            )
+            return (params, target_params, opt_state, rpl,
+                    loss, q_mean, jnp.int32(n_upd))
+
+        def skip(args):
+            params, target_params, opt_state, rpl, _, _ = args
+            return (params, target_params, opt_state, rpl,
+                    jnp.float32(0), jnp.float32(0), jnp.int32(0))
+
+        def body(ts: TrainState, _):
+            key, k_seed, k_off, k_sample = jax.random.split(ts.key, 4)
+            off = jax.random.randint(k_off, (), 0, B - KB + 1)
+            sub_cols = jax.lax.dynamic_slice(bank_boards, (off, 0), (KB, 10))
+            sub_pieces = jax.lax.dynamic_slice(
+                bank_pieces, (off, 0), (KB, bank_pieces.shape[1])
+            )
+            seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+            env, trans, episodes, wins = actor_rollout_fused(
+                ts.env, ts.params, sub_cols, sub_pieces,
+                ts.global_step, seed,
+                eps_start=dqn.eps_start, eps_end=dqn.eps_end,
+                eps_decay=dqn.eps_decay,
+                head_dim=self._head_dim, n_steps=K, tile=self._fused_tile,
+                interpret=self._fused_interpret,
+            )
+            lost = trans.done & ~trans.won
+            reward = (
+                trans.lines_delta.astype(jnp.float32) * e.reward_per_line
+                + trans.won.astype(jnp.float32) * e.win_reward
+                + lost.astype(jnp.float32) * e.loss_reward
+            )                                           # [K, N]
+            rpl = ts.replay
+            for k in range(K):
+                rpl = replay_lib.replay_add_fields(
+                    rpl, trans.cols[k], trans.cur[k], trans.nxt[k],
+                    trans.lines_left[k], trans.moves_left[k],
+                    trans.rot[k], trans.col[k], reward[k], trans.done[k],
+                    trans.n_cols[k], trans.n_cur[k], trans.n_nxt[k],
+                    trans.n_lines_left[k], trans.n_moves_left[k],
+                    trans.n_status[k],
+                )
+            min_size = (
+                max(self.cfg.warmup_steps, dqn.batch_size)
+                + (dqn.n_step - 1) * self.cfg.num_envs
+            )
+            beta = agent_lib.per_beta_schedule(
+                ts.global_step, dqn, self.cfg.total_steps
+            )
+            params, target_params, opt_state, rpl, loss, q_mean, did = (
+                jax.lax.cond(
+                    rpl.size >= min_size,
+                    learn,
+                    skip,
+                    (ts.params, ts.target_params, ts.opt_state, rpl,
+                     k_sample, beta),
+                )
+            )
+            new_ts = TrainState(
+                params=params,
+                target_params=target_params,
+                opt_state=opt_state,
+                replay=rpl,
+                env=env,
+                key=key,
+                global_step=ts.global_step + K,
+                updates_done=ts.updates_done + did,
+            )
+            step_m = ChunkMetrics(
+                episodes=episodes.astype(jnp.int32),
+                wins=wins.astype(jnp.int32),
+                lines=trans.lines_delta.sum().astype(jnp.int32),
+                reward=reward.sum(),
+                loss_sum=loss,
+                loss_count=did,
+                q_mean_sum=q_mean,
+            )
+            return new_ts, step_m
+
+        ts, ms = jax.lax.scan(body, ts, None, length=outer)
+        totals = ChunkMetrics(*[m.sum(axis=0) for m in ms])
+        return ts, totals
+
     def _bank_boards(self) -> jax.Array:
         """Bank boards in the backend's native layout (packed for bitboard)."""
         if self.backend is bitboard:
@@ -259,6 +421,9 @@ class DQNTrainer:
                     )
                 chunk_i += 1
                 n = min(chunk, total - done_steps)
+                if self.cfg.actor_fusion > 0:
+                    K = self.cfg.actor_fusion
+                    n = ((n + K - 1) // K) * K  # kernel phases are K steps
                 self.state, m = self._chunk(
                     self.state, self._bank_boards(), self.bank.pieces, n_steps=n
                 )

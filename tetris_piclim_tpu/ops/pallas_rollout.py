@@ -68,6 +68,139 @@ def _build_small_tables():
 _COLMASK4, _RTOPO4, _WIDTH28, _HEIGHT28, _NROT7 = _build_small_tables()
 
 
+def env_step_once(
+    cols, pieces_f, cursor, lines, moves, status, lg, ml,
+    rot_raw, loc_raw, reset_idx,
+    colmask, rtopo, width, height, nrot,
+    bank_cols_f, bank_pieces_f,
+    *, tile: int, bank: int, pieces_len: int,
+):
+    """One fused env step on VMEM-resident values — bitboard.step + bank
+    auto-reset semantics, shared by the random-policy rollout kernel and the
+    fused actor kernel (tests/test_pallas_rollout.py proves it bit-exact
+    against bitboard.step on varied action streams).
+
+    Returns ``(carry, info)``: ``carry`` is the post-auto-reset state tuple
+    ``(cols, pieces_f, cursor, lines, moves, status)``; ``info`` holds the
+    pre-reset after-state and step outcome needed for replay transitions.
+    """
+    f32 = jnp.float32
+    onehot_cols = jax.lax.broadcasted_iota(jnp.int32, (tile, P28), 1)
+    onehot_bank_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, bank), 1)
+    onehot_piece_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, pieces_len), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, W), 1)
+
+    # --- current piece: one-hot over the sequence ---
+    cur_onehot = (onehot_piece_iota == cursor[:, None]).astype(f32)
+    piece = jnp.sum(cur_onehot * pieces_f, axis=1).astype(jnp.int32)
+
+    # nrot lookup via 7-wide one-hot
+    p_onehot7 = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile, 7), 1) == piece[:, None]
+    ).astype(f32)
+    nrot_p = jnp.sum(p_onehot7 * nrot[None, :], axis=1).astype(jnp.int32)
+    r = jnp.mod(rot_raw, nrot_p)
+    flat = piece * 4 + r
+    oh28 = (onehot_cols == flat[:, None]).astype(f32)     # [tile, 28]
+    w = jnp.dot(oh28, width[:, None],
+                preferred_element_type=f32)[:, 0].astype(jnp.int32)
+    h = jnp.dot(oh28, height[:, None],
+                preferred_element_type=f32)[:, 0].astype(jnp.int32)
+    cm4 = jnp.dot(oh28, colmask, preferred_element_type=f32)   # [tile, 4]
+    rt4 = jnp.dot(oh28, rtopo, preferred_element_type=f32)     # [tile, 4]
+
+    loc = jnp.minimum(loc_raw, W - w)
+
+    # --- align 4-wide piece columns onto the 10 board columns ---
+    # (four 2D select-accumulate terms: a [tile, 10, 4] one-hot would
+    # pad its last dim to 128 lanes and blow VMEM)
+    rel = col_iota - loc[:, None]                         # [tile, 10]
+    in_piece = (rel >= 0) & (rel < 4)
+    mask10f = jnp.zeros((tile, W), f32)
+    rtopo10f = jnp.zeros((tile, W), f32)
+    for c in range(4):
+        sel = (rel == c).astype(f32)
+        mask10f = mask10f + sel * cm4[:, c][:, None]
+        rtopo10f = rtopo10f + sel * rt4[:, c][:, None]
+    mask10 = jnp.where(in_piece, mask10f, 0.0).astype(jnp.int32).astype(jnp.uint32)
+    rtopo10 = jnp.where(in_piece, rtopo10f, -f32(1 << 20)).astype(jnp.int32)
+
+    # --- drop ---
+    t = jax.lax.population_count((~cols) & (cols - jnp.uint32(1)))
+    topo = jnp.where(cols == 0, jnp.int32(H), t.astype(jnp.int32))
+    deltas = topo - rtopo10
+    drop = jnp.min(deltas, axis=1) - 1
+    topout = drop < 0
+    drop_c = jnp.maximum(drop, 0).astype(jnp.uint32)
+    locked = cols | (mask10 << drop_c[:, None])
+
+    # --- line clear ---
+    full = locked[:, 0]
+    for c in range(1, W):
+        full = full & locked[:, c]
+    span = (
+        ((jnp.uint32(1) << h.astype(jnp.uint32)) - 1) << drop_c
+    )
+    cm = full & span
+    k = jax.lax.population_count(cm).astype(jnp.int32)
+    board = locked
+    cmw = cm
+    for _ in range(4):
+        active = cmw != 0
+        lsb = cmw & (~cmw + jnp.uint32(1))
+        low = lsb - jnp.uint32(1)
+        keep_hi = ~((lsb << 1) - jnp.uint32(1))
+        newb = ((board & low[:, None]) << 1) | (board & keep_hi[:, None])
+        board = jnp.where(active[:, None], newb, board)
+        cmw = cmw & (cmw - jnp.uint32(1))
+
+    moves_n = moves + 1
+    lines_n = lines + k
+    RUN, WINS, LOSSS = jnp.int32(0), jnp.int32(1), jnp.int32(2)
+    st_nc = jnp.where(moves_n >= ml, LOSSS, status)
+    st_c = jnp.where(lines_n >= lg, WINS,
+                     jnp.where(moves_n >= ml, LOSSS, status))
+    status_n = jnp.where(topout, LOSSS, jnp.where(k > 0, st_c, st_nc))
+
+    new_cols = jnp.where(topout[:, None], cols, board)
+    new_lines = jnp.where(topout, lines, lines_n)
+    new_moves = jnp.where(topout, moves, moves_n)
+    cursor_n = cursor + 1
+    done = status_n != RUN
+    won = status_n == WINS
+    lines_delta = jnp.where(topout, 0, k)
+
+    # --- auto-reset from the bank (one-hot contraction) ---
+    b_onehot = (onehot_bank_iota == reset_idx[:, None]).astype(f32)
+    fresh_cols = jnp.dot(
+        b_onehot, bank_cols_f, preferred_element_type=f32
+    ).astype(jnp.int32).astype(jnp.uint32)
+    fresh_pieces = jnp.dot(
+        b_onehot, bank_pieces_f, preferred_element_type=f32
+    )
+
+    out_cols = jnp.where(done[:, None], fresh_cols, new_cols)
+    out_pieces = jnp.where(done[:, None], fresh_pieces, pieces_f)
+    out_cursor = jnp.where(done, 0, cursor_n)
+    out_lines = jnp.where(done, 0, new_lines)
+    out_moves = jnp.where(done, 0, new_moves)
+    out_status = jnp.where(done, RUN, status_n)
+
+    carry = (out_cols, out_pieces, out_cursor, out_lines, out_moves, out_status)
+    info = {
+        "piece": piece,
+        "done": done,
+        "won": won,
+        "lines_delta": lines_delta,
+        "pre_cols": new_cols,       # after-state, PRE-reset (replay s')
+        "pre_cursor": cursor_n,
+        "pre_lines": new_lines,
+        "pre_moves": new_moves,
+        "pre_status": status_n,
+    }
+    return carry, info
+
+
 def _kernel(
     *refs,
     n_steps: int, tile: int, bank: int, pieces_len: int,
@@ -94,10 +227,6 @@ def _kernel(
     pltpu.prng_seed(seed_ref[0] + pid)
 
     f32 = jnp.float32
-    onehot_cols = jax.lax.broadcasted_iota(jnp.int32, (tile, P28), 1)
-    onehot_bank_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, bank), 1)
-    onehot_piece_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, pieces_len), 1)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, W), 1)
 
     def rand_uniform_int(maxval_f):
         """[tile] uniform ints in [0, maxval) via multiply-shift.
@@ -114,117 +243,26 @@ def _kernel(
 
     def body(step, carry):
         cols, pieces_f, cursor, lines, moves, status, lg, ml, episodes, wins = carry
-        # --- current piece: one-hot over the sequence ---
-        cur_onehot = (onehot_piece_iota == cursor[:, None]).astype(f32)
-        piece = jnp.sum(cur_onehot * pieces_f, axis=1).astype(jnp.int32)
 
-        # --- action: scripted stream or in-kernel PRNG ---
+        # --- action + reset index: scripted streams or in-kernel PRNG ---
         if with_actions:
             rot_raw = rots_in_ref[pl.ds(step, 1), :][0, :]
-        else:
-            rot_raw = rand_uniform_int(jnp.full((), 4.0, f32))
-        # nrot lookup via 7-wide one-hot
-        p_onehot7 = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile, 7), 1) == piece[:, None]
-        ).astype(f32)
-        nrot = jnp.sum(p_onehot7 * nrot_ref[:][None, :], axis=1).astype(jnp.int32)
-        r = jnp.mod(rot_raw, nrot)
-        flat = piece * 4 + r
-        oh28 = (onehot_cols == flat[:, None]).astype(f32)     # [tile, 28]
-        w = jnp.dot(oh28, width_ref[:][:, None],
-                    preferred_element_type=f32)[:, 0].astype(jnp.int32)
-        h = jnp.dot(oh28, height_ref[:][:, None],
-                    preferred_element_type=f32)[:, 0].astype(jnp.int32)
-        cm4 = jnp.dot(oh28, colmask_ref[:],
-                      preferred_element_type=f32)            # [tile, 4]
-        rt4 = jnp.dot(oh28, rtopo_ref[:],
-                      preferred_element_type=f32)            # [tile, 4]
-
-        if with_actions:
             loc_raw = locs_in_ref[pl.ds(step, 1), :][0, :]
-        else:
-            loc_raw = rand_uniform_int(jnp.full((), 10.0, f32))
-        loc = jnp.minimum(loc_raw, W - w)
-
-        # --- align 4-wide piece columns onto the 10 board columns ---
-        # (four 2D select-accumulate terms: a [tile, 10, 4] one-hot would
-        # pad its last dim to 128 lanes and blow VMEM)
-        rel = col_iota - loc[:, None]                         # [tile, 10]
-        in_piece = (rel >= 0) & (rel < 4)
-        mask10f = jnp.zeros((tile, W), f32)
-        rtopo10f = jnp.zeros((tile, W), f32)
-        for c in range(4):
-            sel = (rel == c).astype(f32)
-            mask10f = mask10f + sel * cm4[:, c][:, None]
-            rtopo10f = rtopo10f + sel * rt4[:, c][:, None]
-        mask10 = jnp.where(in_piece, mask10f, 0.0).astype(jnp.int32).astype(jnp.uint32)
-        rtopo10 = jnp.where(in_piece, rtopo10f, -f32(1 << 20)).astype(jnp.int32)
-
-        # --- drop ---
-        t = jax.lax.population_count((~cols) & (cols - jnp.uint32(1)))
-        topo = jnp.where(cols == 0, jnp.int32(H), t.astype(jnp.int32))
-        deltas = topo - rtopo10
-        drop = jnp.min(deltas, axis=1) - 1
-        topout = drop < 0
-        drop_c = jnp.maximum(drop, 0).astype(jnp.uint32)
-        locked = cols | (mask10 << drop_c[:, None])
-
-        # --- line clear ---
-        full = locked[:, 0]
-        for c in range(1, W):
-            full = full & locked[:, c]
-        span = (
-            ((jnp.uint32(1) << h.astype(jnp.uint32)) - 1) << drop_c
-        )
-        cm = full & span
-        k = jax.lax.population_count(cm).astype(jnp.int32)
-        board = locked
-        cmw = cm
-        for _ in range(4):
-            active = cmw != 0
-            lsb = cmw & (~cmw + jnp.uint32(1))
-            low = lsb - jnp.uint32(1)
-            keep_hi = ~((lsb << 1) - jnp.uint32(1))
-            newb = ((board & low[:, None]) << 1) | (board & keep_hi[:, None])
-            board = jnp.where(active[:, None], newb, board)
-            cmw = cmw & (cmw - jnp.uint32(1))
-
-        moves_n = moves + 1
-        lines_n = lines + k
-        RUN, WINS, LOSSS = jnp.int32(0), jnp.int32(1), jnp.int32(2)
-        st_nc = jnp.where(moves_n >= ml, LOSSS, status)
-        st_c = jnp.where(lines_n >= lg, WINS,
-                         jnp.where(moves_n >= ml, LOSSS, status))
-        status_n = jnp.where(topout, LOSSS, jnp.where(k > 0, st_c, st_nc))
-
-        new_cols = jnp.where(topout[:, None], cols, board)
-        new_lines = jnp.where(topout, lines, lines_n)
-        new_moves = jnp.where(topout, moves, moves_n)
-        cursor_n = cursor + 1
-        done = status_n != RUN
-        won = status_n == WINS
-
-        # --- auto-reset from the bank (one-hot contraction) ---
-        if with_actions:
             idx = idx_in_ref[pl.ds(step, 1), :][0, :]
         else:
+            rot_raw = rand_uniform_int(jnp.full((), 4.0, f32))
+            loc_raw = rand_uniform_int(jnp.full((), 10.0, f32))
             idx = rand_uniform_int(jnp.full((), float(bank), f32))
-        b_onehot = (onehot_bank_iota == idx[:, None]).astype(f32)
-        fresh_cols = jnp.dot(
-            b_onehot, bank_cols_ref[:], preferred_element_type=f32
-        ).astype(jnp.int32).astype(jnp.uint32)
-        fresh_pieces = jnp.dot(
-            b_onehot, bank_pieces_ref[:], preferred_element_type=f32
-        )
 
-        cols = jnp.where(done[:, None], fresh_cols, new_cols)
-        pieces_f = jnp.where(done[:, None], fresh_pieces, pieces_f)
-        cursor = jnp.where(done, 0, cursor_n)
-        lines = jnp.where(done, 0, new_lines)
-        moves = jnp.where(done, 0, new_moves)
-        status = jnp.where(done, RUN, status_n)
-        episodes = episodes + jnp.sum(done.astype(jnp.int32))
-        wins = wins + jnp.sum(won.astype(jnp.int32))
+        (cols, pieces_f, cursor, lines, moves, status), info = env_step_once(
+            cols, pieces_f, cursor, lines, moves, status, lg, ml,
+            rot_raw, loc_raw, idx,
+            colmask_ref[:], rtopo_ref[:], width_ref[:], height_ref[:],
+            nrot_ref[:], bank_cols_ref[:], bank_pieces_ref[:],
+            tile=tile, bank=bank, pieces_len=pieces_len,
+        )
+        episodes = episodes + jnp.sum(info["done"].astype(jnp.int32))
+        wins = wins + jnp.sum(info["won"].astype(jnp.int32))
         return (cols, pieces_f, cursor, lines, moves, status, lg, ml,
                 episodes, wins)
 
@@ -372,6 +410,6 @@ def rollout_fused(
         moves_used=moves[:, 0],
         lines_goal=state.lines_goal,
         move_limit=state.move_limit,
-        status=status[:, 0],
+        status=status[:, 0].astype(jnp.int8),
     )
     return new_state, episodes.sum(), wins.sum()

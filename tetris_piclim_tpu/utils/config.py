@@ -66,6 +66,11 @@ class TrainConfig:
     env: EnvConfig = field(default_factory=EnvConfig)
     dqn: DQNConfig = field(default_factory=DQNConfig)
 
+    # fused-actor kernel: K>0 runs the Pallas actor kernel for K env steps
+    # per learner phase (obs+Q-forward+eps-greedy+step+reset all in VMEM;
+    # requires the plain MLP QNetwork, non-dueling). The policy is frozen
+    # for K steps between update phases. 0 = the per-step XLA actor.
+    actor_fusion: int = 0
     num_envs: int = 1024        # vmapped envs stepped in lockstep
     bank_capacity: int = 1024   # device-resident winnable configs
     # default bank family mix: 75% carved + 25% forward generate+prove —
