@@ -115,7 +115,7 @@ def cmd_train(args) -> int:
 
         bank = ConfigBank(
             cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
-        ).fill_device()
+        ).fill_device(forward_fraction=args.device_forward)
     net = _build_net(args.model, args.dueling, args.joint)
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
     if args.warm_start:
@@ -137,6 +137,7 @@ def cmd_train(args) -> int:
             log_fn=lambda msg: print(msg, file=sys.stderr),
             refresh_bank=args.refresh_bank,
             device_refresh_every=args.device_refresh,
+            device_forward_fraction=args.device_forward,
         )
     ev = trainer.evaluate(n_episodes=args.eval_episodes)
     ev = {"train_bank": ev}
@@ -415,6 +416,13 @@ def main(argv=None) -> int:
         "--device-refresh", type=int, default=0, metavar="K",
         help="regenerate carve-family bank rows on device every K chunks "
              "(effectively infinite training distribution; 0 = static bank)",
+    )
+    p.add_argument(
+        "--device-forward", type=float, default=0.0, metavar="F",
+        help="fraction of the device bank generated as PROVEN forward-family "
+             "configs by the on-device generate+prove pipeline "
+             "(gen/jax_forward.py); applies to --device-bank fill and "
+             "--device-refresh regeneration",
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument(

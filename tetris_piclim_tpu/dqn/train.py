@@ -393,13 +393,17 @@ class DQNTrainer:
         log_fn=print,
         refresh_bank: bool = False,
         device_refresh_every: int = 0,
+        device_forward_fraction: float = 0.0,
     ) -> dict:
         """``device_refresh_every=k`` regenerates the carve-family bank rows
         ON DEVICE every k chunks (fresh PRNG key each time) — the training
         distribution becomes effectively infinite, so the policy cannot
         memorize a finite config set (the round-1 failure mode: 97.5%
-        train-bank vs 29% held-out). ``refresh_bank`` additionally runs the
-        two host producer threads (carve + forward generate+prove)."""
+        train-bank vs 29% held-out). ``device_forward_fraction > 0``
+        regenerates that share of the bank as PROVEN on-device
+        forward-family configs (gen/jax_forward.py), making BOTH config
+        families infinite distributions. ``refresh_bank`` additionally runs
+        the two host producer threads (carve + forward generate+prove)."""
         cfg = self.cfg
         total = total_steps if total_steps is not None else cfg.total_steps
         chunk = max(1, min(cfg.log_every, total))
@@ -417,7 +421,8 @@ class DQNTrainer:
                     chunk_i % device_refresh_every == 0
                 ):
                     self.bank.refresh_device(
-                        jax.random.PRNGKey(int(bank_keys.integers(2**31 - 1)))
+                        jax.random.PRNGKey(int(bank_keys.integers(2**31 - 1))),
+                        forward_fraction=device_forward_fraction,
                     )
                 chunk_i += 1
                 n = min(chunk, total - done_steps)

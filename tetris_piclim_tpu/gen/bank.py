@@ -148,36 +148,111 @@ class ConfigBank:
         )
         return unpack_board(batch.boards), batch.pieces
 
-    def fill_device(self, key=None) -> "ConfigBank":
-        """Fill the whole bank ON DEVICE with the vectorized JAX carver
-        (gen/jax_carver.py) — no host generation at all. Orders of magnitude
-        faster than :meth:`fill`; use :meth:`fill` when bit-exact host-carver
-        parity or forward-generator diversity is wanted."""
+    def _device_rows(
+        self,
+        key,
+        forward_fraction: float,
+        initial_height_max: int,
+        oversample: int,
+    ):
+        """Host arrays (boards, pieces, family) for a full device-generated
+        bank: carve rows from gen/jax_carver plus up to
+        ``capacity * forward_fraction`` PROVEN forward-family rows from
+        gen/jax_forward (the on-device generate+prove path). The forward
+        generator oversamples ``oversample``x and keeps winners; any
+        shortfall (low prover yield on hard tasks) stays carve-family."""
+        from ..ops.bitboard import unpack_board
+        from .jax_carver import generate_batch_device_jit
+
+        k_carve, k_fwd = jax.random.split(key)
+        batch = generate_batch_device_jit(
+            k_carve, n=self.capacity, L=self.L, M=self.M
+        )
+        boards = np.array(unpack_board(batch.boards))
+        pieces = np.array(batch.pieces)
+        family = np.full(self.capacity, FAMILY_CARVE, dtype=np.int8)
+
+        n_fwd = int(self.capacity * forward_fraction)
+        if n_fwd > 0:
+            from .jax_forward import generate_batch_device_jit as fwd_jit
+
+            fb = fwd_jit(
+                k_fwd, n=oversample * n_fwd, L=self.L, M=self.M,
+                initial_height_max=initial_height_max,
+            )
+            win = np.flatnonzero(np.asarray(fb.winnable))[:n_fwd]
+            if len(win):
+                sel = jnp.asarray(win)
+                boards[: len(win)] = np.asarray(
+                    unpack_board(fb.boards[sel])
+                )
+                pieces[: len(win)] = np.asarray(fb.pieces[sel])
+                family[: len(win)] = FAMILY_FORWARD
+        return boards, pieces, family
+
+    def fill_device(
+        self,
+        key=None,
+        forward_fraction: float = 0.0,
+        initial_height_max: int = 4,
+        oversample: int = 3,
+    ) -> "ConfigBank":
+        """Fill the whole bank ON DEVICE — no host generation at all. Carve
+        rows come from the vectorized JAX carver (gen/jax_carver.py);
+        ``forward_fraction > 0`` additionally fills that share with PROVEN
+        forward-family configs from the on-device generate+prove pipeline
+        (gen/jax_forward.py). Orders of magnitude faster than :meth:`fill`;
+        use :meth:`fill` when bit-exact host parity is wanted."""
         if key is None:
             key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
-        boards, pieces = self._device_batch(key)
+        boards, pieces, family = self._device_rows(
+            key, forward_fraction, initial_height_max, oversample
+        )
         kwargs = {"device": self._device} if self._device is not None else {}
-        self.boards = jax.device_put(boards, **kwargs)
-        self.pieces = jax.device_put(pieces, **kwargs)
+        self.boards = jax.device_put(jnp.asarray(boards), **kwargs)
+        self.pieces = jax.device_put(jnp.asarray(pieces), **kwargs)
         # np.array (copy): np.asarray of a jax array is a READ-ONLY view,
         # which would break later in-place refresh writes
-        self._host_boards = np.array(boards)
-        self._host_pieces = np.array(pieces)
-        self._family[:] = FAMILY_CARVE
+        self._host_boards = boards
+        self._host_pieces = pieces
+        self._family[:] = family
         self._fill_count = self.capacity
         return self
 
-    def refresh_device(self, key=None) -> "ConfigBank":
-        """Regenerate every CARVE-family row on device with fresh configs;
-        forward-family rows (host generate+prove producer) are preserved.
+    def refresh_device(
+        self,
+        key=None,
+        forward_fraction: float = 0.0,
+        initial_height_max: int = 4,
+        oversample: int = 3,
+    ) -> "ConfigBank":
+        """Regenerate bank rows on device with fresh configs.
 
         Called between training chunks this makes the training distribution
         effectively infinite — the TPU-native answer to bank memorization
         (the carver emits tens of thousands of configs/s on chip, so the
-        whole bank turns over every chunk for ~ms of device time)."""
+        whole bank turns over every chunk for ~ms of device time).
+
+        ``forward_fraction == 0`` (default): carve-family rows are
+        regenerated, rows owned by the host forward producer are preserved.
+        ``forward_fraction > 0``: the WHOLE bank is regenerated as a
+        carve + proven-device-forward mixture (gen/jax_forward.py) — both
+        families become infinite distributions, so the host producers are
+        redundant (they may still run; their rows simply churn too)."""
         if key is None:
             key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
         with self._lock:
+            kwargs = {"device": self._device} if self._device is not None else {}
+            if forward_fraction > 0:
+                boards_np, pieces_np, family = self._device_rows(
+                    key, forward_fraction, initial_height_max, oversample
+                )
+                self.boards = jax.device_put(jnp.asarray(boards_np), **kwargs)
+                self.pieces = jax.device_put(jnp.asarray(pieces_np), **kwargs)
+                self._host_boards = boards_np
+                self._host_pieces = pieces_np
+                self._family[:] = family
+                return self
             boards_new, pieces_new = self._device_batch(key)
             carve = jnp.asarray(self._family == FAMILY_CARVE)
             boards = jnp.where(
@@ -186,7 +261,6 @@ class ConfigBank:
             pieces = jnp.where(
                 carve[:, None], pieces_new, jnp.asarray(self._host_pieces)
             )
-            kwargs = {"device": self._device} if self._device is not None else {}
             self.boards = jax.device_put(boards, **kwargs)
             self.pieces = jax.device_put(pieces, **kwargs)
             # host mirror stays authoritative for the async host producers
