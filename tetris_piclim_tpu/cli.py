@@ -233,13 +233,20 @@ def cmd_eval(args) -> int:
     # TRAINING bank only if seed/capacity/fill-path match the training run
     out = {"bank": trainer.evaluate(n_episodes=args.episodes)}
     if args.eval_holdout:
-        from .gen.bank import make_holdout_bank
+        from .gen.bank import FAMILY_CARVE, FAMILY_FORWARD, make_holdout_bank
 
         holdout = make_holdout_bank(
             args.lines, args.moves, capacity=args.holdout_bank,
             train_bank=trainer.bank,
         )
         out["holdout"] = trainer.evaluate(n_episodes=args.episodes, bank=holdout)
+        out["holdout"]["families"] = holdout.family_counts
+        for name, fam in (("carve", FAMILY_CARVE), ("forward", FAMILY_FORWARD)):
+            sub = holdout.subset(fam)
+            if sub is not None:
+                out[f"holdout_{name}"] = trainer.evaluate(
+                    n_episodes=args.episodes, bank=sub
+                )
     print(json.dumps(out))
     return 0
 
