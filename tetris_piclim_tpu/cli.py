@@ -139,6 +139,14 @@ def cmd_train(args) -> int:
             device_refresh_every=args.device_refresh,
             device_forward_fraction=args.device_forward,
         )
+    if args.checkpoint:
+        # Checkpoint BEFORE the final evaluation: the eval path compiles
+        # fresh programs (holdout bank build + greedy rollout) on the remote
+        # tunnel, and a wedged compile there must not cost the trained model.
+        final = (f"{args.checkpoint}/final" if args.checkpoint_every > 0
+                 else args.checkpoint)
+        save_train_state(final, trainer.state)
+        print(f"checkpoint saved to {final}", file=sys.stderr)
     ev = trainer.evaluate(n_episodes=args.eval_episodes)
     ev = {"train_bank": ev}
     if args.eval_holdout:
@@ -162,13 +170,6 @@ def cmd_train(args) -> int:
                 )
     logger.log({"final_eval": ev})
     print(json.dumps(ev))
-    if args.checkpoint:
-        # With periodic checkpointing the root dir holds step_<n> children,
-        # so the final state gets its own subdirectory.
-        final = (f"{args.checkpoint}/final" if args.checkpoint_every > 0
-                 else args.checkpoint)
-        save_train_state(final, trainer.state)
-        print(f"checkpoint saved to {final}", file=sys.stderr)
     logger.close()
     return 0
 
