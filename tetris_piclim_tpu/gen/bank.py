@@ -402,6 +402,7 @@ class ConfigBank:
             p.join(timeout=10)
             if p.is_alive():
                 p.terminate()
+                p.join(timeout=5)  # reap — terminate alone leaves a zombie
         self._procs = []
 
     def subset(self, family: int) -> Optional["ConfigBank"]:
