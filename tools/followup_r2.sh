@@ -7,23 +7,7 @@
 set -u
 cd "$(dirname "$0")/.."
 
-if [ ! -d results/ckpt_r2_L5M25 ]; then
-  # the first L5M25 attempt finished training but hung in the final-eval
-  # holdout compile on the remote tunnel and was killed by its timeout
-  # before the checkpoint was written (cli now checkpoints BEFORE eval)
-  echo "=== rerun L=5 M=25 steps=500000 (L5M25) ==="
-  timeout 4000 python -m tetris_piclim_tpu.cli train -L 5 -M 25 \
-    --model conv --dueling --joint --updates 4 --num-envs 2048 \
-    --bank 4096 --device-bank --device-refresh 1 --refresh-bank \
-    --steps 500000 --eval-episodes 8192 --eval-holdout --holdout-bank 2048 \
-    --checkpoint "results/ckpt_r2_L5M25" \
-    --log-file "results/train_r2_L5M25.jsonl" \
-    > "results/train_r2_L5M25.log" 2>&1
-  echo "rc=$? for L5M25 rerun"
-  grep -o '{"train_bank".*' "results/train_r2_L5M25.log" | tail -1
-fi
-
-for tag in "3 20 L3M20" "5 25 L5M25"; do
+for tag in "3 20 L3M20"; do
   set -- $tag
   echo "=== eval families L=$1 M=$2 ($3) ==="
   timeout 2000 python -m tetris_piclim_tpu.cli eval -L "$1" -M "$2" \
