@@ -55,5 +55,51 @@ def main(out="results/curves.png"):
     print(f"wrote {out}")
 
 
+def main_r2(out="results/curves_r2.png"):
+    """Round-2 curves: training win rate under per-chunk device bank refresh
+    is itself a generalization number (the policy never repeats a config), so
+    these curves are directly comparable to the held-out final evals.
+
+    Colors: validated categorical palette slots 1-4 in fixed order
+    (dataviz reference palette, light surface)."""
+    palette = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
+    runs = [  # fixed slot order: task difficulty ascending
+        ("results/train_r2_L2M20.log", "L=2 M=20"),
+        ("results/train_r2_L3M20.log", "L=3 M=20"),
+        ("results/train_r2_L5M25.log", "L=5 M=25"),
+        ("results/train_r2_L10M30.log", "L=10 M=30"),
+    ]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for (path, label), color in zip(runs, palette):
+        try:
+            steps, wr = parse(path)
+        except FileNotFoundError:
+            continue
+        if steps:
+            ax.plot(steps, wr, label=label, color=color, lw=2)
+            ax.annotate(
+                f" {label}: {wr[-1]:.2f}",
+                (steps[-1], wr[-1]),
+                fontsize=8,
+                color="#444444",
+                va="center",
+            )
+    ax.set_xscale("log")
+    ax.set_xlim(right=ax.get_xlim()[1] * 3)  # room for end labels
+    ax.set_xlabel("environment steps")
+    ax.set_ylabel("training win rate (ε=0.05, fresh configs every chunk)")
+    ax.set_title("Round-2 DQN runs — infinite config distribution, one TPU v5e chip")
+    ax.legend(loc="upper left", fontsize=8)
+    ax.grid(alpha=0.25, lw=0.5)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "r2":
+        main_r2(*sys.argv[2:])
+    else:
+        main(*sys.argv[1:])
