@@ -10,6 +10,10 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# Persist compiled executables across the 4 runs below — every process
+# otherwise re-pays the ~25-90s remote-tunnel compile for the SAME programs.
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+
 COMMON="--model conv --dueling --joint --updates 4 --num-envs 2048 \
   --bank 4096 --device-bank --device-refresh 1 \
   --eval-episodes 4096"
