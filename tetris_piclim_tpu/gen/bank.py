@@ -29,6 +29,11 @@ import numpy as np
 
 from ..tables import BOARD_H, BOARD_W
 from ._producers import FAMILY_CARVE, FAMILY_FORWARD
+
+# Device-forward generation batch: one fixed-shape prove program regardless
+# of bank size (XLA program size — and remote-tunnel compile time — scales
+# with n, so big single-shot batches are a compile-time trap).
+_FWD_CHUNK = 1024
 from .carver import CarvingGenerator
 from .pipeline import generate_batch, translate_batch
 
@@ -176,18 +181,35 @@ class ConfigBank:
         if n_fwd > 0:
             from .jax_forward import generate_batch_device_jit as fwd_jit
 
-            fb = fwd_jit(
-                k_fwd, n=oversample * n_fwd, L=self.L, M=self.M,
-                initial_height_max=initial_height_max,
-            )
-            win = np.flatnonzero(np.asarray(fb.winnable))[:n_fwd]
-            if len(win):
-                sel = jnp.asarray(win)
-                boards[: len(win)] = np.asarray(
-                    unpack_board(fb.boards[sel])
+            # Fixed-size chunks: the prove program's XLA size scales with n
+            # (the remote tunnel took 20+ min to compile n=3072 for a 4096
+            # bank), so compile ONE n=_FWD_CHUNK program and call it
+            # repeatedly — same winners, bank-size-independent compile.
+            got_b: list[np.ndarray] = []
+            got_p: list[np.ndarray] = []
+            remaining = n_fwd
+            k = k_fwd
+            for _ in range(-(-oversample * n_fwd // _FWD_CHUNK)):
+                if remaining <= 0:
+                    break
+                k, kc = jax.random.split(k)
+                fb = fwd_jit(
+                    kc, n=_FWD_CHUNK, L=self.L, M=self.M,
+                    initial_height_max=initial_height_max,
                 )
-                pieces[: len(win)] = np.asarray(fb.pieces[sel])
-                family[: len(win)] = FAMILY_FORWARD
+                win = np.flatnonzero(np.asarray(fb.winnable))[:remaining]
+                if len(win):
+                    sel = jnp.asarray(win)
+                    got_b.append(np.asarray(unpack_board(fb.boards[sel])))
+                    got_p.append(np.asarray(fb.pieces[sel]))
+                    remaining -= len(win)
+            if got_b:
+                fwd_boards = np.concatenate(got_b)
+                fwd_pieces = np.concatenate(got_p)
+                n_got = len(fwd_boards)
+                boards[:n_got] = fwd_boards
+                pieces[:n_got] = fwd_pieces
+                family[:n_got] = FAMILY_FORWARD
         return boards, pieces, family
 
     def fill_device(
