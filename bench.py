@@ -19,6 +19,9 @@ import numpy as np
 
 from tetris_piclim_tpu.gen.bank import ConfigBank
 from tetris_piclim_tpu.ops import bitboard
+from tetris_piclim_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 BASELINE_STEPS_PER_S = 49_000.0  # reference move()/s, 1 CPU core (BASELINE.md)
 

@@ -31,6 +31,9 @@ from tetris_piclim_tpu.gen.bank import ConfigBank
 from tetris_piclim_tpu.utils.config import DQNConfig, EnvConfig, TrainConfig
 from tetris_piclim_tpu.ops import bitboard
 from tetris_piclim_tpu.dqn import agent as agent_lib
+from tetris_piclim_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 NUM_ENVS = 4096
 SCAN = 512

@@ -15,6 +15,9 @@ import random
 import time
 
 import jax
+from tetris_piclim_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def bench_host_carver(L=10, M=30, n=100) -> dict:

@@ -42,6 +42,9 @@ from tetris_piclim_tpu.dqn.train import DQNTrainer
 from tetris_piclim_tpu.gen.bank import ConfigBank
 from tetris_piclim_tpu.parallel import make_mesh, shard_bank, shard_train_state
 from tetris_piclim_tpu.utils.config import DQNConfig, EnvConfig, TrainConfig
+from tetris_piclim_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 ENVS_PER_DEVICE = 512
 CHUNK_STEPS = 64

@@ -16,6 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tetris_piclim_tpu.ops import bitboard, pallas_rollout
+from tetris_piclim_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 N = 8192
 STEPS = 1024

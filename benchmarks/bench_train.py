@@ -15,6 +15,9 @@ import jax
 from tetris_piclim_tpu.dqn.train import DQNTrainer
 from tetris_piclim_tpu.gen.bank import ConfigBank
 from tetris_piclim_tpu.utils.config import EnvConfig, TrainConfig
+from tetris_piclim_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 NUM_ENVS = 4096
 CHUNK = 512

@@ -223,8 +223,18 @@ def cmd_eval(args) -> int:
         replay_capacity=8192,
         seed=args.seed,
     )
+    bank = None
+    if args.device_bank:
+        # rebuild the bank the way the TRAINING run did (same fill path,
+        # forward fraction, capacity, seed) so the "bank" metric and the
+        # holdout disjointness check run against the training distribution
+        from .gen.bank import ConfigBank
+
+        bank = ConfigBank(
+            args.lines, args.moves, capacity=args.bank, seed=args.seed
+        ).fill_device(forward_fraction=args.device_forward)
     trainer = DQNTrainer(
-        cfg, net=_build_net(args.model, args.dueling, args.joint)
+        cfg, bank=bank, net=_build_net(args.model, args.dueling, args.joint)
     )
     if args.checkpoint:
         # params-only: the checkpoint's training shapes (num_envs, replay
@@ -467,6 +477,12 @@ def main(argv=None) -> int:
     _add_env_flags(p)
     p.add_argument("--episodes", type=int, default=1024)
     p.add_argument("--bank", type=int, default=256)
+    p.add_argument("--device-bank", action="store_true",
+                   help="fill the bank with the device carver (+forward) "
+                        "like cli train, instead of the host fill path")
+    p.add_argument("--device-forward", type=float, default=0.0, metavar="F",
+                   help="device-forward row fraction for --device-bank; "
+                        "match the training run's value")
     p.add_argument("--eval-holdout", action="store_true",
                    help="also evaluate on a held-out bank (fresh carve key "
                         "+ forward seeds >= 100000, disjointness checked)")
@@ -505,6 +521,11 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    # every subcommand compiles through the remote tunnel; the persistent
+    # cache makes each program a one-time cost (utils/cache.py)
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 
