@@ -145,3 +145,16 @@ def test_refresh_rows_stay_winnable_shape():
     bank = ConfigBank(2, 10, capacity=8, seed=2).fill(carve_fraction=0.5)
     assert bank._host_pieces.shape == (8, 11)
     assert (bank._host_pieces >= 0).all() and (bank._host_pieces < 7).all()
+
+
+def test_fwd_chunk_sizing():
+    """Small banks prove a right-sized power-of-two chunk, not the full
+    1024-candidate fixed batch (ADVICE r2: capacity-256 tests paid 4x+
+    extra prove work); large banks stay capped for compile-size safety."""
+    from tetris_piclim_tpu.gen.bank import _FWD_CHUNK, _fwd_chunk_for
+
+    assert _fwd_chunk_for(1) == 1
+    assert _fwd_chunk_for(3) == 4
+    assert _fwd_chunk_for(192) == 256
+    assert _fwd_chunk_for(1024) == _FWD_CHUNK
+    assert _fwd_chunk_for(50_000) == _FWD_CHUNK

@@ -29,13 +29,25 @@ import numpy as np
 
 from ..tables import BOARD_H, BOARD_W
 from ._producers import FAMILY_CARVE, FAMILY_FORWARD
-
-# Device-forward generation batch: one fixed-shape prove program regardless
-# of bank size (XLA program size — and remote-tunnel compile time — scales
-# with n, so big single-shot batches are a compile-time trap).
-_FWD_CHUNK = 1024
 from .carver import CarvingGenerator
 from .pipeline import generate_batch, translate_batch
+
+# Device-forward generation batch cap: one fixed-shape prove program
+# regardless of bank size (XLA program size — and remote-tunnel compile
+# time — scales with n, so big single-shot batches are a compile-time trap).
+# Small banks use the next power of two covering their own need instead of
+# paying the full 1024-candidate cost (see _fwd_chunk_for).
+_FWD_CHUNK = 1024
+
+
+def _fwd_chunk_for(n_needed: int) -> int:
+    """Prove-chunk size for a bank needing ``n_needed`` forward candidates:
+    the smallest power of two covering the need, capped at _FWD_CHUNK.
+    Powers of two keep the set of distinct compiled program shapes tiny."""
+    n = 1
+    while n < n_needed and n < _FWD_CHUNK:
+        n <<= 1
+    return n
 
 
 class ConfigBank:
@@ -183,18 +195,21 @@ class ConfigBank:
 
             # Fixed-size chunks: the prove program's XLA size scales with n
             # (the remote tunnel took 20+ min to compile n=3072 for a 4096
-            # bank), so compile ONE n=_FWD_CHUNK program and call it
-            # repeatedly — same winners, bank-size-independent compile.
+            # bank), so compile ONE n=chunk program and call it repeatedly —
+            # same winners, bank-size-independent compile. Small banks
+            # (tests, capacity << 1024) size the chunk to their own need
+            # rather than paying the full 1024-candidate prove cost.
+            chunk = _fwd_chunk_for(oversample * n_fwd)
             got_b: list[np.ndarray] = []
             got_p: list[np.ndarray] = []
             remaining = n_fwd
             k = k_fwd
-            for _ in range(-(-oversample * n_fwd // _FWD_CHUNK)):
+            for _ in range(-(-oversample * n_fwd // chunk)):
                 if remaining <= 0:
                     break
                 k, kc = jax.random.split(k)
                 fb = fwd_jit(
-                    kc, n=_FWD_CHUNK, L=self.L, M=self.M,
+                    kc, n=chunk, L=self.L, M=self.M,
                     initial_height_max=initial_height_max,
                 )
                 win = np.flatnonzero(np.asarray(fb.winnable))[:remaining]

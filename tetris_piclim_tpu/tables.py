@@ -155,8 +155,9 @@ def _build_engine_tables():
             height[pid, ridx] = h
             rt = mask_rtopo(m)
             rtopo[pid, ridx, :w] = rt
-            # pad unused columns with a large value so they never win the
-            # min-delta race in drop computation
+            # unused columns stay 0; consumers never read them (engine.step
+            # masks invalid columns via valid_col, the bitboard path builds
+            # its own sentinel), so no special padding value is needed
             rtopo[pid, ridx, w:] = 0
     return masks, width, height, rtopo, nrot
 

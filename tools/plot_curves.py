@@ -87,7 +87,7 @@ def main_r2(out="results/curves_r2.png"):
     ax.set_xscale("log")
     ax.set_xlim(right=ax.get_xlim()[1] * 3)  # room for end labels
     ax.set_xlabel("environment steps")
-    ax.set_ylabel("training win rate (ε=0.05, fresh configs every chunk)")
+    ax.set_ylabel("training win rate (ε-greedy, ε→0.05; fresh configs every chunk)")
     ax.set_title("Round-2 DQN runs — infinite config distribution, one TPU v5e chip")
     ax.legend(loc="upper left", fontsize=8)
     ax.grid(alpha=0.25, lw=0.5)
