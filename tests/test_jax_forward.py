@@ -79,8 +79,47 @@ def test_winners_replay_to_win():
 
 
 def test_hard_task_yield_nonzero():
+    # beam-8 proves ~97% of L=10/M=30 candidates (greedy-1 managed ~35%)
     b = _batch(seed=2, L=10, M=30)
-    assert float(np.asarray(b.winnable).mean()) > 0.05
+    assert float(np.asarray(b.winnable).mean()) > 0.8
+
+
+def test_beam_beats_greedy_and_replays():
+    """The beam prover's whole point: materially higher yield than greedy on
+    the long-horizon task, while every winner still replays to WIN."""
+    key = jax.random.PRNGKey(11)
+    L, M, n = 10, 30, 96
+    run = jax.jit(
+        jax_forward.generate_batch_device,
+        static_argnames=("n", "L", "M", "initial_height_max", "beam_width"),
+    )
+    greedy = run(key, n=n, L=L, M=M, initial_height_max=4, beam_width=1)
+    beam = run(key, n=n, L=L, M=M, initial_height_max=4, beam_width=8)
+    gy = float(np.asarray(greedy.winnable).mean())
+    by = float(np.asarray(beam.winnable).mean())
+    assert by > gy + 0.2, f"beam {by:.2f} vs greedy {gy:.2f}"
+
+    win = np.asarray(beam.winnable)
+    idx = jnp.asarray(np.flatnonzero(win))
+    states = bitboard.make_state_batch(beam.boards[idx], beam.pieces[idx], L, M)
+    jstep = jax.jit(bitboard.step)
+    for i in range(M):
+        res = jstep(
+            states,
+            beam.rotations[idx, i].astype(jnp.int32),
+            beam.locations[idx, i].astype(jnp.int32),
+        )
+        frozen = states.status != 0
+        states = jax.tree.map(
+            lambda a, c: jnp.where(
+                frozen.reshape((-1,) + (1,) * (a.ndim - 1)), a, c
+            ),
+            states, res.state,
+        )
+    assert (np.asarray(states.status) == 1).all()
+    # solution lengths are recorded and within budget for winners
+    n_moves = np.asarray(beam.n_moves)[win]
+    assert ((n_moves >= L) & (n_moves <= M)).all()
 
 
 def test_bank_fill_device_forward_fraction():

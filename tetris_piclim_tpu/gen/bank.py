@@ -171,6 +171,7 @@ class ConfigBank:
         forward_fraction: float,
         initial_height_max: int,
         oversample: int,
+        beam_width: int = 8,
     ):
         """Host arrays (boards, pieces, family) for a full device-generated
         bank: carve rows from gen/jax_carver plus up to
@@ -211,6 +212,7 @@ class ConfigBank:
                 fb = fwd_jit(
                     kc, n=chunk, L=self.L, M=self.M,
                     initial_height_max=initial_height_max,
+                    beam_width=beam_width,
                 )
                 win = np.flatnonzero(np.asarray(fb.winnable))[:remaining]
                 if len(win):
@@ -233,6 +235,7 @@ class ConfigBank:
         forward_fraction: float = 0.0,
         initial_height_max: int = 4,
         oversample: int = 3,
+        beam_width: int = 8,
     ) -> "ConfigBank":
         """Fill the whole bank ON DEVICE — no host generation at all. Carve
         rows come from the vectorized JAX carver (gen/jax_carver.py);
@@ -243,7 +246,8 @@ class ConfigBank:
         if key is None:
             key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
         boards, pieces, family = self._device_rows(
-            key, forward_fraction, initial_height_max, oversample
+            key, forward_fraction, initial_height_max, oversample,
+            beam_width,
         )
         kwargs = {"device": self._device} if self._device is not None else {}
         self.boards = jax.device_put(jnp.asarray(boards), **kwargs)
@@ -262,6 +266,7 @@ class ConfigBank:
         forward_fraction: float = 0.0,
         initial_height_max: int = 4,
         oversample: int = 3,
+        beam_width: int = 8,
     ) -> "ConfigBank":
         """Regenerate bank rows on device with fresh configs.
 
@@ -282,7 +287,8 @@ class ConfigBank:
             kwargs = {"device": self._device} if self._device is not None else {}
             if forward_fraction > 0:
                 boards_np, pieces_np, family = self._device_rows(
-                    key, forward_fraction, initial_height_max, oversample
+                    key, forward_fraction, initial_height_max, oversample,
+                    beam_width,
                 )
                 self.boards = jax.device_put(jnp.asarray(boards_np), **kwargs)
                 self.pieces = jax.device_put(jnp.asarray(pieces_np), **kwargs)
