@@ -171,3 +171,27 @@ def test_play_obs_matches_engine_observe():
             )
             t.move(rot, loc)
             s = engine.step(s, jnp.int32(rot), jnp.int32(loc)).state
+
+
+def test_warm_reset_worker_restart():
+    """Dead producers are restarted so reset() can't block forever — the
+    reference flaw SURVEY §5.3 calls out (game/tetris.py:447 blocks on a
+    starved queue for good). Mirrors the bank path's restart policy."""
+    import queue as qm
+
+    t = Tetris(1, 8, warm_reset=True, seed=3)
+    try:
+        for proc in list(t._workers):
+            proc.terminate()
+            proc.join(timeout=10)
+        try:
+            while True:
+                t._queue.get_nowait()
+        except qm.Empty:
+            pass
+        t.reset()  # restarts both producers and returns a fresh config
+        assert t._restarts >= 1
+        assert any(p.is_alive() for p in t._workers)
+        assert t.board.shape == (20, 10)
+    finally:
+        t.terminate()

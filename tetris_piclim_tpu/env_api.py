@@ -170,13 +170,15 @@ class Tetris:
             # producers import only numpy-level code, so spawn start cost
             # is a one-off ~100ms per worker.
             ctx = multiprocessing.get_context("spawn")
+            self._mp_ctx = ctx
             self._queue = ctx.Queue(maxsize=20)
             self._stop = ctx.Event()
-            specs = [
+            self._worker_specs = [
                 (_carve_producer, (self._queue, self._stop, L, M)),
                 (_forward_producer, (self._queue, self._stop, L, M, parity)),
             ]
-            for target, args in specs:
+            self._restarts = 0
+            for target, args in self._worker_specs:
                 proc = ctx.Process(target=target, args=args, daemon=True)
                 proc.start()
                 self._workers.append(proc)
@@ -184,9 +186,51 @@ class Tetris:
         self._board = np.zeros((BOARD_H, BOARD_W), dtype=bool)
         self.load_warm_reset()
 
+    _MAX_WORKER_RESTARTS = 5
+
+    def _reap_and_restart_workers(self) -> None:
+        """Restart dead producers (bounded) so ``reset()`` can't hang forever.
+
+        The reference never restarts a dead worker — a starved queue just
+        blocks ``reset()`` for good (game/tetris.py:447, the SURVEY §5.3
+        gap). Same policy as the bank path's producer restart
+        (gen/bank.py): at most _MAX_WORKER_RESTARTS replacements, reaping
+        the dead process first."""
+        for i, proc in enumerate(self._workers):
+            if (
+                not proc.is_alive()
+                and not self._stop.is_set()
+                and self._restarts < self._MAX_WORKER_RESTARTS
+            ):
+                proc.join(timeout=1)  # reap
+                target, args = self._worker_specs[i]
+                fresh = self._mp_ctx.Process(
+                    target=target, args=args, daemon=True
+                )
+                fresh.start()
+                self._workers[i] = fresh
+                self._restarts += 1
+
     def load_warm_reset(self) -> None:
         if self.warm_reset:
-            board, pieces = self._queue.get()
+            while True:
+                try:
+                    board, pieces = self._queue.get(timeout=2.0)
+                    break
+                except queue_mod.Empty:
+                    # starvation: producers may have died — restart them
+                    self._reap_and_restart_workers()
+                    if (
+                        self._restarts >= self._MAX_WORKER_RESTARTS
+                        and not any(p.is_alive() for p in self._workers)
+                    ):
+                        raise RuntimeError(
+                            "warm-reset producers died "
+                            f"{self._restarts} restarts ago and the queue "
+                            "is empty; failing fast instead of blocking "
+                            "reset() forever (reference behavior, "
+                            "game/tetris.py:447)"
+                        )
         else:
             # render each accepted carve, like the reference's carve loop
             # (game/tetris.py:264-265; render forces cold resets, :181-182)
