@@ -35,10 +35,39 @@ from tetris_piclim_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-NUM_ENVS = 4096
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--model", choices=["mlp", "conv"], default="mlp")
+_ap.add_argument("--dueling", action="store_true")
+_ap.add_argument("--joint", action="store_true")
+_ap.add_argument("--bf16", action="store_true")
+_ap.add_argument("--num-envs", type=int, default=4096)
+_ap.add_argument("--updates", type=int, nargs="*", default=[1, 4],
+                 help="updates-per-step variants to time")
+_ARGS = _ap.parse_args()
+
+NUM_ENVS = _ARGS.num_envs
 SCAN = 512
 REPEATS = 3
 L, M = 2, 20
+
+
+def _net():
+    """Same construction as cli._build_net, so the bench measures the
+    recipe the trainer actually runs."""
+    if _ARGS.model == "conv":
+        from tetris_piclim_tpu.models.convnet import ConvQNetwork
+
+        return ConvQNetwork(
+            dueling=_ARGS.dueling, joint=_ARGS.joint,
+            dtype=jnp.bfloat16 if _ARGS.bf16 else jnp.float32,
+        )
+    if _ARGS.dueling or _ARGS.joint:
+        from tetris_piclim_tpu.models.qnet import QNetwork
+
+        return QNetwork(dueling=_ARGS.dueling, joint=_ARGS.joint)
+    return None
 
 
 def timed(fn, *args):
@@ -68,7 +97,7 @@ def main() -> None:
             updates_per_step=updates, seed=0,
         )
 
-    trainer = DQNTrainer(mk_cfg(1), bank=bank)
+    trainer = DQNTrainer(mk_cfg(1), bank=bank, net=_net())
     params = trainer.state.params
     apply_fn = trainer.apply_fn
 
@@ -104,12 +133,14 @@ def main() -> None:
 
     key = jax.random.PRNGKey(0)
     res = {"num_envs": NUM_ENVS, "scan": SCAN,
-           "backend": jax.default_backend()}
+           "backend": jax.default_backend(),
+           "model": _ARGS.model, "dueling": _ARGS.dueling,
+           "joint": _ARGS.joint, "bf16": _ARGS.bf16}
     res["env_only"] = round(timed(env_only, states, key), 1)
     res["actor"] = round(timed(actor, params, states, key), 1)
 
     def full(updates):
-        tr = DQNTrainer(mk_cfg(updates), bank=bank)
+        tr = DQNTrainer(mk_cfg(updates), bank=bank, net=_net())
         def run():
             ts, _ = tr._chunk(
                 tr.state, tr._bank_boards(), tr.bank.pieces, n_steps=SCAN
@@ -117,8 +148,8 @@ def main() -> None:
             return ts
         return timed(run)
 
-    res["full_u1"] = round(full(1), 1)
-    res["full_u4"] = round(full(4), 1)
+    for u in _ARGS.updates:
+        res[f"full_u{u}"] = round(full(u), 1)
 
     # derived per-step costs (us per env-step consumed by each stage)
     def us(v):
@@ -126,9 +157,15 @@ def main() -> None:
     res["cost_us"] = {
         "env": us(res["env_only"]),
         "net_forward+obs": round(us(res["actor"]) - us(res["env_only"]), 4),
-        "replay+learn_u1": round(us(res["full_u1"]) - us(res["actor"]), 4),
-        "extra_3_updates": round(us(res["full_u4"]) - us(res["full_u1"]), 4),
     }
+    if "full_u1" in res:
+        res["cost_us"]["replay+learn_u1"] = round(
+            us(res["full_u1"]) - us(res["actor"]), 4
+        )
+    if "full_u1" in res and "full_u4" in res:
+        res["cost_us"]["extra_3_updates"] = round(
+            us(res["full_u4"]) - us(res["full_u1"]), 4
+        )
     print(json.dumps(res))
 
 

@@ -149,3 +149,19 @@ def test_bank_refresh_device_forward_churns_both_families():
     assert bank.family_counts["forward"] >= 8
     # the whole bank turned over (infinite-distribution property)
     assert len(before & after) <= 2
+
+
+def test_holdout_device_forward_fallback():
+    """Hard tasks (L=10/M=30) yield zero HOST forward games, which made the
+    round-2 L=10 holdout silently 100% carve-family. The beam-prover device
+    fallback must supply forward rows so the holdout is mixed-family."""
+    from tetris_piclim_tpu.gen.bank import make_holdout_bank
+
+    bank = make_holdout_bank(
+        10, 30, capacity=64,
+        forward_seed_budget=0,      # force the host path to yield nothing
+        forward_time_budget_s=0.0,
+    )
+    fams = bank.family_counts
+    assert fams["forward"] >= 16, fams   # target 32 (forward_fraction=0.5)
+    assert fams["forward"] + fams["carve"] == 64

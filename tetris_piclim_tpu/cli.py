@@ -21,12 +21,20 @@ def _add_env_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-M", "--moves", type=int, default=20, help="move budget")
 
 
-def _build_net(model: str, dueling: bool, joint: bool = False):
-    """Q-net from CLI flags; None means the default (reference MLP)."""
+def _build_net(model: str, dueling: bool, joint: bool = False,
+               bf16: bool = False):
+    """Q-net from CLI flags; None means the default (reference MLP).
+
+    ``bf16`` switches the conv torso's compute dtype to bfloat16 (MXU
+    native; params and the Q head stay float32) — a throughput knob for
+    the flagship recipe, numerically a no-op for the tiny MLP."""
     if model == "conv":
+        import jax.numpy as jnp
+
         from .models.convnet import ConvQNetwork
 
-        return ConvQNetwork(dueling=dueling, joint=joint)
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
+        return ConvQNetwork(dueling=dueling, joint=joint, dtype=dtype)
     if dueling or joint:
         from .models.qnet import QNetwork
 
@@ -116,7 +124,8 @@ def cmd_train(args) -> int:
         bank = ConfigBank(
             cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
         ).fill_device(forward_fraction=args.device_forward)
-    net = _build_net(args.model, args.dueling, args.joint)
+    net = _build_net(args.model, args.dueling, args.joint,
+                       getattr(args, "bf16", False))
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
     if args.warm_start:
         trainer.warm_start(args.warm_start)
@@ -193,7 +202,8 @@ def cmd_curriculum(args) -> int:
     )
     tr = CurriculumTrainer(
         levels, cfg=cfg, seed=args.seed,
-        net=_build_net(args.model, args.dueling, args.joint),
+        net=_build_net(args.model, args.dueling, args.joint,
+                       getattr(args, "bf16", False)),
     )
     hist = tr.train(
         total_steps=args.steps,
@@ -234,7 +244,8 @@ def cmd_eval(args) -> int:
             args.lines, args.moves, capacity=args.bank, seed=args.seed
         ).fill_device(forward_fraction=args.device_forward)
     trainer = DQNTrainer(
-        cfg, bank=bank, net=_build_net(args.model, args.dueling, args.joint)
+        cfg, bank=bank, net=_build_net(args.model, args.dueling, args.joint,
+                       getattr(args, "bf16", False))
     )
     if args.checkpoint:
         # params-only: the checkpoint's training shapes (num_envs, replay
@@ -322,7 +333,8 @@ def cmd_play(args) -> int:
         from .models.qnet import QNetwork, q_ops
         from .utils.checkpoint import restore_params
 
-        net = _build_net(args.model, args.dueling, args.joint) or QNetwork()
+        net = _build_net(args.model, args.dueling, args.joint,
+                       getattr(args, "bf16", False)) or QNetwork()
         if not args.checkpoint:
             print("--policy greedy requires --checkpoint", file=sys.stderr)
             return 2
@@ -416,6 +428,8 @@ def main(argv=None) -> int:
                                         "source task/config may differ)")
     p.add_argument("--dueling", action="store_true",
                    help="dueling value/advantage head (either model)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute in the conv torso (MXU-native)")
     p.add_argument("--joint", action="store_true",
                    help="40-way joint (rotation, column) head instead of the "
                         "additive factored 14-way head (either model)")
@@ -471,6 +485,7 @@ def main(argv=None) -> int:
     p.add_argument("--model", choices=["mlp", "conv"], default="mlp")
     p.add_argument("--dueling", action="store_true")
     p.add_argument("--joint", action="store_true")
+    p.add_argument("--bf16", action="store_true")
     p.set_defaults(fn=cmd_curriculum)
 
     p = sub.add_parser("eval", help="greedy-policy win rate")
@@ -493,6 +508,7 @@ def main(argv=None) -> int:
                    help="must match the checkpoint's architecture")
     p.add_argument("--dueling", action="store_true")
     p.add_argument("--joint", action="store_true")
+    p.add_argument("--bf16", action="store_true")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("generate", help="winnable-config generation")
@@ -515,6 +531,7 @@ def main(argv=None) -> int:
     p.add_argument("--model", choices=["mlp", "conv"], default="mlp")
     p.add_argument("--dueling", action="store_true")
     p.add_argument("--joint", action="store_true")
+    p.add_argument("--bf16", action="store_true")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("bench", help="env-step throughput benchmark")

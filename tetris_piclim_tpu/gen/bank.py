@@ -541,14 +541,42 @@ def make_holdout_bank(
                 continue
             taken.add(k)
             rows.append((board, pieces))
+    # host-forward shortfall: on hard tasks the host DFS prover's yield
+    # collapses (L=10/M=30 yields ZERO games inside any realistic budget, so
+    # round 2's L=10 holdout was silently 100% carve-family). Top up with
+    # DEVICE forward-family rows from the beam prover under a holdout-only
+    # PRNG key: still provably winnable (replay contract), still hash-checked
+    # disjoint — the holdout stays fresh-unseen-configs, only the
+    # forward-row *generator* differs (beam-proven device rows vs host DFS).
+    from ..ops.bitboard import unpack_board
+
+    key = jax.random.PRNGKey(seed)
+    if len(rows) < n_forward:
+        from .jax_forward import generate_batch_device_jit as fwd_jit
+
+        for _ in range(8):
+            if len(rows) >= n_forward:
+                break
+            key, k_fwd = jax.random.split(key)
+            fb = fwd_jit(k_fwd, n=_fwd_chunk_for(n_forward), L=L, M=M)
+            win = np.flatnonzero(np.asarray(fb.winnable))
+            fboards = np.asarray(unpack_board(fb.boards[jnp.asarray(win)]))
+            fpieces = np.asarray(fb.pieces[jnp.asarray(win)])
+            for i in range(len(win)):
+                if len(rows) >= n_forward:
+                    break
+                board = fboards[i].astype(bool)
+                pieces = fpieces[i].astype(np.int8)
+                k = key_of(board, pieces)
+                if k in taken:
+                    continue
+                taken.add(k)
+                rows.append((board, pieces))
     n_forward_got = len(rows)
 
     # fill the rest by carving on device from a fresh key (fast), replacing
     # any row that collides with the training bank
-    from ..ops.bitboard import unpack_board
     from .jax_carver import generate_batch_device
-
-    key = jax.random.PRNGKey(seed)
     while len(rows) < capacity:
         key, k_gen = jax.random.split(key)
         n_need = capacity - len(rows)

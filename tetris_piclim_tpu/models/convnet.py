@@ -14,7 +14,7 @@ manual wiring).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -37,19 +37,26 @@ class ConvQNetwork(nn.Module):
     action_dim: int = ACTION_DIM
     dueling: bool = False
     joint: bool = False
+    # compute dtype for the torso matmuls (params stay float32). bf16 is
+    # MXU-native on TPU: the conv torso + 12800-wide flatten Dense are the
+    # FLOP bulk of the flagship recipe, and halving their width roughly
+    # doubles matmul throughput. The Q head always computes in float32 —
+    # TD-target regression is precision-sensitive where ReLU torsos aren't.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
         assert obs.shape[-1] == OBS_DIM
         board = obs[..., :200].reshape(obs.shape[:-1] + (20, 10, 1))
         aux = obs[..., 200:]
-        x = board
+        x = board.astype(self.dtype)
         for ch in self.channels:
-            x = nn.relu(nn.Conv(ch, (3, 3), padding="SAME")(x))
+            x = nn.relu(nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(x))
         x = x.reshape(obs.shape[:-1] + (-1,))
-        x = jnp.concatenate([x, aux], axis=-1)
-        x = nn.relu(nn.Dense(self.hidden)(x))
-        x = nn.relu(nn.Dense(self.hidden)(x))
+        x = jnp.concatenate([x, aux.astype(self.dtype)], axis=-1)
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        x = x.astype(jnp.float32)
         out_dim = JOINT_DIM if self.joint else self.action_dim
         if self.dueling:
             combine = dueling_combine_joint if self.joint else dueling_combine
