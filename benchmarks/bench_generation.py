@@ -76,6 +76,32 @@ def bench_forward_pipeline(L=2, M=20) -> dict:
     return out
 
 
+def bench_device_forward(L=10, M=30, n=1024) -> dict:
+    """Proven forward-family configs/s from the device generate+prove path,
+    per beam width — the knob that trades prove cost for DFS-coverage (the
+    reference's host pipeline proves ~19 games/s at L=2 and ~0 at L=10)."""
+    from tetris_piclim_tpu.gen.jax_forward import generate_batch_device_jit
+
+    out = {"bench": "device_forward_winnable_per_s", "L": L, "M": M, "n": n}
+    for bw in (1, 4, 8):
+        f = lambda k: generate_batch_device_jit(k, n=n, L=L, M=M, beam_width=bw)
+        b = f(jax.random.PRNGKey(0))
+        jax.block_until_ready(b.winnable)
+        times, wins = [], 0
+        for i in range(3):
+            t0 = time.time()
+            b = f(jax.random.PRNGKey(i + 1))
+            jax.block_until_ready(b.winnable)
+            times.append(time.time() - t0)
+            wins = int(b.winnable.sum())
+        out[f"bw{bw}_winnable_per_s"] = round(wins / min(times), 1)
+        out[f"bw{bw}_yield"] = round(wins / n, 3)
+        out[f"bw{bw}_batch_ms"] = round(min(times) * 1e3, 1)
+    out["value"] = out["bw8_winnable_per_s"]
+    return out
+
+
 if __name__ == "__main__":
-    for fn in (bench_host_carver, bench_device_carver, bench_forward_pipeline):
+    for fn in (bench_host_carver, bench_device_carver,
+               bench_forward_pipeline, bench_device_forward):
         print(json.dumps(fn()))
