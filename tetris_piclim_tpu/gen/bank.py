@@ -204,9 +204,13 @@ class ConfigBank:
             got_b: list[np.ndarray] = []
             got_p: list[np.ndarray] = []
             remaining = n_fwd
+            # don't burn a whole extra prove chunk to top up the last <=2%
+            # of rows (beam yields run 97-100%, so the first chunk routinely
+            # leaves a handful short); the shortfall stays carve-family
+            slack = int(0.02 * n_fwd)
             k = k_fwd
             for _ in range(-(-oversample * n_fwd // chunk)):
-                if remaining <= 0:
+                if remaining <= slack:
                     break
                 k, kc = jax.random.split(k)
                 fb = fwd_jit(
