@@ -56,8 +56,15 @@ class DQNTrainer:
         bank: Optional[ConfigBank] = None,
         backend: str = "bitboard",
         net=None,
+        mesh=None,
     ):
         self.cfg = cfg
+        # optional jax.sharding.Mesh with a "dp" axis. The XLA chunk needs no
+        # mesh plumbing (GSPMD partitions it from the argument shardings, see
+        # parallel/mesh.py), but the fused Pallas actor is opaque to GSPMD —
+        # with a mesh it runs per-shard under jax.shard_map (batch-parallel:
+        # envs sharded, params/bank replicated, metrics psum-reduced).
+        self.mesh = mesh
         # any flax module with apply(params, obs[N, 217]) -> q[N, 14] works
         # (e.g. models.convnet.ConvQNetwork)
         self.net = net if net is not None else QNetwork(action_dim=ACTION_DIM)
@@ -111,9 +118,24 @@ class DQNTrainer:
                     "runs that exact forward in VMEM"
                 )
             self._head_dim = _JD if self.net.joint else _AD
-            # largest power-of-two tile dividing the env batch, <= 512
+            # largest power-of-two tile dividing the (per-shard) env batch,
+            # <= 512; under a mesh the kernel sees num_envs/mesh_size envs
+            local_envs = cfg.num_envs
+            if self.mesh is not None:
+                n_dev = self.mesh.shape["dp"]
+                if cfg.num_envs % n_dev:
+                    raise ValueError(
+                        f"num_envs ({cfg.num_envs}) must be divisible by "
+                        f"the mesh size ({n_dev}) for actor_fusion"
+                    )
+                local_envs = cfg.num_envs // n_dev
+            if local_envs % 8:
+                raise ValueError(
+                    f"per-shard env batch ({local_envs}) must be a multiple "
+                    "of the minimum fused-actor tile (8)"
+                )
             tile = 8
-            while tile * 2 <= min(512, cfg.num_envs) and cfg.num_envs % (tile * 2) == 0:
+            while tile * 2 <= min(512, local_envs) and local_envs % (tile * 2) == 0:
                 tile *= 2
             self._fused_tile = tile
             if jax.default_backend() == "tpu":
@@ -314,14 +336,50 @@ class DQNTrainer:
                 bank_pieces, (off, 0), (KB, bank_pieces.shape[1])
             )
             seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
-            env, trans, episodes, wins = actor_rollout_fused(
-                ts.env, ts.params, sub_cols, sub_pieces,
-                ts.global_step, seed,
-                eps_start=dqn.eps_start, eps_end=dqn.eps_end,
-                eps_decay=dqn.eps_decay,
-                head_dim=self._head_dim, n_steps=K, tile=self._fused_tile,
-                interpret=self._fused_interpret,
-            )
+
+            def run_fused(env, params, sub_cols, sub_pieces, global_step,
+                          seed):
+                return actor_rollout_fused(
+                    env, params, sub_cols, sub_pieces, global_step, seed,
+                    eps_start=dqn.eps_start, eps_end=dqn.eps_end,
+                    eps_decay=dqn.eps_decay,
+                    head_dim=self._head_dim, n_steps=K,
+                    tile=self._fused_tile,
+                    interpret=self._fused_interpret,
+                )
+
+            if self.mesh is None:
+                env, trans, episodes, wins = run_fused(
+                    ts.env, ts.params, sub_cols, sub_pieces,
+                    ts.global_step, seed,
+                )
+            else:
+                # Pallas is opaque to GSPMD: run the kernel per-shard.
+                # Envs are batch-sharded, weights + bank window replicated
+                # (same layout as the XLA path, parallel/mesh.py); per-shard
+                # seeds are decorrelated, episode/win counts psum-reduced so
+                # every shard returns the global totals.
+                from jax.sharding import PartitionSpec as _P
+
+                def sharded(env, params, sub_cols, sub_pieces, global_step,
+                            seed):
+                    seed = seed + jax.lax.axis_index("dp") * 7919
+                    env, trans, episodes, wins = run_fused(
+                        env, params, sub_cols, sub_pieces, global_step, seed
+                    )
+                    return (
+                        env, trans,
+                        jax.lax.psum(episodes, "dp"),
+                        jax.lax.psum(wins, "dp"),
+                    )
+
+                env, trans, episodes, wins = jax.shard_map(
+                    sharded, mesh=self.mesh,
+                    in_specs=(_P("dp"), _P(), _P(), _P(), _P(), _P()),
+                    out_specs=(_P("dp"), _P(None, "dp"), _P(), _P()),
+                    check_vma=False,
+                )(ts.env, ts.params, sub_cols, sub_pieces,
+                  ts.global_step, seed)
             lost = trans.done & ~trans.won
             reward = (
                 trans.lines_delta.astype(jnp.float32) * e.reward_per_line
