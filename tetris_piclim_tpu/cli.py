@@ -123,7 +123,8 @@ def cmd_train(args) -> int:
 
         bank = ConfigBank(
             cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
-        ).fill_device(forward_fraction=args.device_forward)
+        ).fill_device(forward_fraction=args.device_forward,
+                      beam_width=args.device_beam)
     net = _build_net(args.model, args.dueling, args.joint,
                        getattr(args, "bf16", False))
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
@@ -147,6 +148,7 @@ def cmd_train(args) -> int:
             refresh_bank=args.refresh_bank,
             device_refresh_every=args.device_refresh,
             device_forward_fraction=args.device_forward,
+            device_beam_width=args.device_beam,
         )
     if args.checkpoint:
         # Checkpoint BEFORE the final evaluation: the eval path compiles
@@ -449,6 +451,9 @@ def main(argv=None) -> int:
         help="regenerate carve-family bank rows on device every K chunks "
              "(effectively infinite training distribution; 0 = static bank)",
     )
+    p.add_argument(
+        "--device-beam", type=int, default=8, metavar="K",
+        help="beam width for the device-forward prover (1 = greedy)")
     p.add_argument(
         "--device-forward", type=float, default=0.0, metavar="F",
         help="fraction of the device bank generated as PROVEN forward-family "

@@ -452,6 +452,7 @@ class DQNTrainer:
         refresh_bank: bool = False,
         device_refresh_every: int = 0,
         device_forward_fraction: float = 0.0,
+        device_beam_width: int = 8,
     ) -> dict:
         """``device_refresh_every=k`` regenerates the carve-family bank rows
         ON DEVICE every k chunks (fresh PRNG key each time) — the training
@@ -481,6 +482,7 @@ class DQNTrainer:
                     self.bank.refresh_device(
                         jax.random.PRNGKey(int(bank_keys.integers(2**31 - 1))),
                         forward_fraction=device_forward_fraction,
+                        beam_width=device_beam_width,
                     )
                 chunk_i += 1
                 n = min(chunk, total - done_steps)
