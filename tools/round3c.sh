@@ -17,6 +17,34 @@ for _ in $(seq 1 720); do
   sleep 15
 done
 
+# L10M30df recovery: the queue-B run hit a ~12-min tunnel stall and raced
+# its timeout. If its inline final eval is missing, recover it from the
+# checkpoint (saved before eval); if even the checkpoint is missing, retrain
+# with a stall-tolerant timeout.
+if ! grep -q '"holdout"' results/train_r3_L10M30df.log 2>/dev/null; then
+  if [ -d results/ckpt_r3_L10M30df ]; then
+    echo "=== L10M30df eval recovery from checkpoint ==="
+    timeout 3600 python -m tetris_piclim_tpu.cli eval -L 10 -M 30 \
+      --model conv --dueling --joint --checkpoint results/ckpt_r3_L10M30df \
+      --episodes 8192 --eval-holdout --holdout-bank 2048 \
+      --bank 4096 --device-bank --device-forward 0.25 \
+      > results/eval_r3_L10M30df.json 2> results/eval_r3_L10M30df.err
+    echo "L10 eval rc=$?"; cat results/eval_r3_L10M30df.json
+  else
+    echo "=== L10M30df retrain (stall-tolerant) ==="
+    timeout 4200 python -m tetris_piclim_tpu.cli train -L 10 -M 30 \
+      --model conv --dueling --joint --updates 4 --num-envs 2048 \
+      --bank 4096 --device-bank --device-refresh 1 \
+      --steps 500000 --eval-episodes 8192 --eval-holdout --holdout-bank 2048 \
+      --device-forward 0.25 --checkpoint results/ckpt_r3_L10M30df \
+      --checkpoint-every 100000 \
+      --log-file results/train_r3_L10M30df.jsonl \
+      > results/train_r3_L10M30df.log 2>&1
+    echo "rc=$? for L10M30df retrain"
+    grep -o '{"train_bank".*' results/train_r3_L10M30df.log | tail -1
+  fi
+fi
+
 run() {
   local tag=$1; shift
   echo "=== L2M20 $tag extra=[$*] ==="
