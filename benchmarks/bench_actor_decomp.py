@@ -42,6 +42,7 @@ _ap.add_argument("--model", choices=["mlp", "conv"], default="mlp")
 _ap.add_argument("--dueling", action="store_true")
 _ap.add_argument("--joint", action="store_true")
 _ap.add_argument("--bf16", action="store_true")
+_ap.add_argument("--impl", choices=["conv", "im2col"], default="conv")
 _ap.add_argument("--num-envs", type=int, default=4096)
 _ap.add_argument("--updates", type=int, nargs="*", default=[1, 4],
                  help="updates-per-step variants to time")
@@ -62,6 +63,7 @@ def _net():
         return ConvQNetwork(
             dueling=_ARGS.dueling, joint=_ARGS.joint,
             dtype=jnp.bfloat16 if _ARGS.bf16 else jnp.float32,
+            impl=_ARGS.impl,
         )
     if _ARGS.dueling or _ARGS.joint:
         from tetris_piclim_tpu.models.qnet import QNetwork
@@ -135,7 +137,7 @@ def main() -> None:
     res = {"num_envs": NUM_ENVS, "scan": SCAN,
            "backend": jax.default_backend(),
            "model": _ARGS.model, "dueling": _ARGS.dueling,
-           "joint": _ARGS.joint, "bf16": _ARGS.bf16}
+           "joint": _ARGS.joint, "bf16": _ARGS.bf16, "impl": _ARGS.impl}
     res["env_only"] = round(timed(env_only, states, key), 1)
     res["actor"] = round(timed(actor, params, states, key), 1)
 

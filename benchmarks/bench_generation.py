@@ -11,8 +11,12 @@ Prints one JSON line per benchmark.
 from __future__ import annotations
 
 import json
+import os
 import random
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 from tetris_piclim_tpu.utils.cache import enable_compilation_cache

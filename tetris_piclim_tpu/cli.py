@@ -22,7 +22,7 @@ def _add_env_flags(p: argparse.ArgumentParser) -> None:
 
 
 def _build_net(model: str, dueling: bool, joint: bool = False,
-               bf16: bool = False):
+               bf16: bool = False, conv_impl: str = "conv"):
     """Q-net from CLI flags; None means the default (reference MLP).
 
     ``bf16`` switches the conv torso's compute dtype to bfloat16 (MXU
@@ -34,7 +34,8 @@ def _build_net(model: str, dueling: bool, joint: bool = False,
         from .models.convnet import ConvQNetwork
 
         dtype = jnp.bfloat16 if bf16 else jnp.float32
-        return ConvQNetwork(dueling=dueling, joint=joint, dtype=dtype)
+        return ConvQNetwork(dueling=dueling, joint=joint, dtype=dtype,
+                            impl=conv_impl)
     if dueling or joint:
         from .models.qnet import QNetwork
 
@@ -126,7 +127,8 @@ def cmd_train(args) -> int:
         ).fill_device(forward_fraction=args.device_forward,
                       beam_width=args.device_beam)
     net = _build_net(args.model, args.dueling, args.joint,
-                       getattr(args, "bf16", False))
+                       getattr(args, "bf16", False),
+                       getattr(args, "conv_impl", "conv"))
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
     if args.warm_start:
         trainer.warm_start(args.warm_start)
@@ -205,7 +207,8 @@ def cmd_curriculum(args) -> int:
     tr = CurriculumTrainer(
         levels, cfg=cfg, seed=args.seed,
         net=_build_net(args.model, args.dueling, args.joint,
-                       getattr(args, "bf16", False)),
+                       getattr(args, "bf16", False),
+                       getattr(args, "conv_impl", "conv")),
     )
     hist = tr.train(
         total_steps=args.steps,
@@ -247,7 +250,8 @@ def cmd_eval(args) -> int:
         ).fill_device(forward_fraction=args.device_forward)
     trainer = DQNTrainer(
         cfg, bank=bank, net=_build_net(args.model, args.dueling, args.joint,
-                       getattr(args, "bf16", False))
+                       getattr(args, "bf16", False),
+                       getattr(args, "conv_impl", "conv"))
     )
     if args.checkpoint:
         # params-only: the checkpoint's training shapes (num_envs, replay
@@ -336,7 +340,8 @@ def cmd_play(args) -> int:
         from .utils.checkpoint import restore_params
 
         net = _build_net(args.model, args.dueling, args.joint,
-                       getattr(args, "bf16", False)) or QNetwork()
+                       getattr(args, "bf16", False),
+                       getattr(args, "conv_impl", "conv")) or QNetwork()
         if not args.checkpoint:
             print("--policy greedy requires --checkpoint", file=sys.stderr)
             return 2
@@ -432,6 +437,9 @@ def main(argv=None) -> int:
                    help="dueling value/advantage head (either model)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute in the conv torso (MXU-native)")
+    p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv",
+                   help="conv torso lowering: XLA conv vs explicit im2col "
+                        "matmuls (MXU-friendly; different checkpoint layout)")
     p.add_argument("--joint", action="store_true",
                    help="40-way joint (rotation, column) head instead of the "
                         "additive factored 14-way head (either model)")
@@ -491,6 +499,7 @@ def main(argv=None) -> int:
     p.add_argument("--dueling", action="store_true")
     p.add_argument("--joint", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv")
     p.set_defaults(fn=cmd_curriculum)
 
     p = sub.add_parser("eval", help="greedy-policy win rate")
@@ -514,6 +523,7 @@ def main(argv=None) -> int:
     p.add_argument("--dueling", action="store_true")
     p.add_argument("--joint", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("generate", help="winnable-config generation")
@@ -537,6 +547,7 @@ def main(argv=None) -> int:
     p.add_argument("--dueling", action="store_true")
     p.add_argument("--joint", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("bench", help="env-step throughput benchmark")

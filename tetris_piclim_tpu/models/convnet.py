@@ -43,6 +43,16 @@ class ConvQNetwork(nn.Module):
     # doubles matmul throughput. The Q head always computes in float32 —
     # TD-target regression is precision-sensitive where ReLU torsos aren't.
     dtype: Any = jnp.float32
+    # "conv": XLA conv_general_dilated on the [B, 20, 10, C] image. The
+    # 20x10 spatial dims are tiny against the TPU's (8, 128) tiles, so the
+    # conv runs layout-bound at ~10% MXU efficiency (measured,
+    # results/bench_decomp_conv_*.json — bf16 doesn't move it).
+    # "im2col": extract the 3x3 patches explicitly and fold the 200 board
+    # positions into the matmul ROW dimension — [B*200, 9*C] @ [9*C, ch] is
+    # a shape the MXU actually tiles. Same math, same receptive field;
+    # different param tree (Dense kernels instead of Conv kernels), so
+    # checkpoints don't transfer between impls.
+    impl: str = "conv"
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
@@ -50,9 +60,25 @@ class ConvQNetwork(nn.Module):
         board = obs[..., :200].reshape(obs.shape[:-1] + (20, 10, 1))
         aux = obs[..., 200:]
         x = board.astype(self.dtype)
-        for ch in self.channels:
-            x = nn.relu(nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(x))
-        x = x.reshape(obs.shape[:-1] + (-1,))
+        if self.impl == "im2col":
+            lead = x.shape[:-3]
+            x = x.reshape((-1, 20, 10, x.shape[-1]))
+            for ch in self.channels:
+                patches = jax.lax.conv_general_dilated_patches(
+                    x, filter_shape=(3, 3), window_strides=(1, 1),
+                    padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )                                  # [B, 20, 10, 9*C]
+                flat = patches.reshape((-1, patches.shape[-1]))  # rows=B*200
+                h = nn.relu(nn.Dense(ch, dtype=self.dtype)(flat))
+                x = h.reshape((-1, 20, 10, ch))
+            x = x.reshape(lead + (-1,))
+        else:
+            for ch in self.channels:
+                x = nn.relu(
+                    nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
+                )
+            x = x.reshape(obs.shape[:-1] + (-1,))
         x = jnp.concatenate([x, aux.astype(self.dtype)], axis=-1)
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
