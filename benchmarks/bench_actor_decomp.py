@@ -44,6 +44,7 @@ _ap.add_argument("--joint", action="store_true")
 _ap.add_argument("--bf16", action="store_true")
 _ap.add_argument("--impl", choices=["conv", "im2col"], default="conv")
 _ap.add_argument("--num-envs", type=int, default=4096)
+_ap.add_argument("--batch", type=int, default=128)
 _ap.add_argument("--updates", type=int, nargs="*", default=[1, 4],
                  help="updates-per-step variants to time")
 _ARGS = _ap.parse_args()
@@ -93,7 +94,7 @@ def main() -> None:
     def mk_cfg(updates):
         return TrainConfig(
             env=EnvConfig(L=L, M=M),
-            dqn=DQNConfig(batch_size=128),
+            dqn=DQNConfig(batch_size=_ARGS.batch),
             num_envs=NUM_ENVS, bank_capacity=bank.capacity,
             replay_capacity=262144, warmup_steps=1,
             updates_per_step=updates, seed=0,
@@ -137,7 +138,8 @@ def main() -> None:
     res = {"num_envs": NUM_ENVS, "scan": SCAN,
            "backend": jax.default_backend(),
            "model": _ARGS.model, "dueling": _ARGS.dueling,
-           "joint": _ARGS.joint, "bf16": _ARGS.bf16, "impl": _ARGS.impl}
+           "joint": _ARGS.joint, "bf16": _ARGS.bf16, "impl": _ARGS.impl,
+           "batch": _ARGS.batch}
     res["env_only"] = round(timed(env_only, states, key), 1)
     res["actor"] = round(timed(actor, params, states, key), 1)
 

@@ -62,7 +62,8 @@ def cmd_train(args) -> int:
             env=EnvConfig(L=args.lines, M=args.moves),
             dqn=DQNConfig(n_step=args.n_step, prioritized=args.per,
                           eps_decay=args.eps_decay,
-                          double_dqn=args.double),
+                          double_dqn=args.double,
+                          batch_size=args.batch),
             num_envs=args.num_envs,
             bank_capacity=args.bank,
             replay_capacity=args.replay,
@@ -96,6 +97,7 @@ def cmd_train(args) -> int:
         dqn_kw = overrides([
             ("n_step", "n_step"), ("per", "prioritized"),
             ("eps_decay", "eps_decay"), ("double", "double_dqn"),
+            ("batch", "batch_size"),
         ])
         top_kw = overrides([
             ("num_envs", "num_envs"), ("bank", "bank_capacity"),
@@ -443,6 +445,11 @@ def main(argv=None) -> int:
     p.add_argument("--joint", action="store_true",
                    help="40-way joint (rotation, column) head instead of the "
                         "additive factored 14-way head (either model)")
+    p.add_argument("--batch", type=int, default=128,
+                   help="learner batch size (reference-declared default 128; "
+                        "batch*updates is the sample throughput — one "
+                        "batch-512 update does the MXU work of four "
+                        "batch-128 updates at a quarter of the dispatches)")
     p.add_argument("--log-file", help="JSONL metrics path")
     p.add_argument("--refresh-bank", action="store_true")
     p.add_argument("--smoke", action="store_true", help="tiny smoke run")
