@@ -98,8 +98,54 @@ def main_r2(out="results/curves_r2.png"):
     print(f"wrote {out}")
 
 
+def main_r3(out="results/curves_r3.png"):
+    """Round-3 curves: the device-forward ablation arms. Same fixed
+    task->hue slots as the round-2 figure (validated categorical palette,
+    color follows the task entity); arms of the same task differ by
+    linestyle, so identity is never carried by color alone."""
+    SLOT = {"L2": "#2a78d6", "L3": "#eb6834", "L10": "#eda100"}
+    runs = [
+        ("results/train_r3_L2df50.log", "L=2 df=0.5 beam (500k)", SLOT["L2"], "-"),
+        ("results/train_r3_L2M20df.log", "L=2 df=0.25 beam", SLOT["L2"], "--"),
+        ("results/train_r3_L2df25bw1.log", "L=2 df=0.25 greedy", SLOT["L2"], ":"),
+        ("results/train_r3_L3M20df.log", "L=3 df=0.25 beam", SLOT["L3"], "-"),
+        ("results/train_r3_L10M30df.log", "L=10 df=0.25 beam", SLOT["L10"], "-"),
+    ]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for path, label, color, ls in runs:
+        try:
+            steps, wr = parse(path)
+        except FileNotFoundError:
+            continue
+        if steps:
+            ax.plot(steps, wr, label=label, color=color, lw=2, ls=ls)
+            ax.annotate(
+                f" {wr[-1]:.2f}",
+                (steps[-1], wr[-1]),
+                fontsize=8,
+                color="#444444",
+                va="center",
+            )
+    ax.set_xscale("log")
+    ax.set_xlim(right=ax.get_xlim()[1] * 1.6)
+    ax.set_xlabel("environment steps")
+    ax.set_ylabel("training win rate (ε-greedy, ε→0.05; fresh configs every chunk)")
+    ax.set_title(
+        "Round-3 device-forward arms — mixed carve+forward infinite distribution"
+    )
+    ax.legend(loc="upper left", fontsize=8)
+    ax.grid(alpha=0.25, lw=0.5)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "r2":
         main_r2(*sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "r3":
+        main_r3(*sys.argv[2:])
     else:
         main(*sys.argv[1:])
