@@ -43,6 +43,17 @@ def _build_net(model: str, dueling: bool, joint: bool = False,
     return None
 
 
+def _parse_height(spec: str) -> tuple[int, int]:
+    """'4' -> (4, 4); '8:4' -> (8, 4) — an initial_height_max anneal."""
+    parts = spec.split(":")
+    if len(parts) == 1:
+        h = int(parts[0])
+        return (h, h)
+    if len(parts) == 2:
+        return (int(parts[0]), int(parts[1]))
+    raise ValueError(f"bad --device-height {spec!r}; want H or H0:H1")
+
+
 def cmd_train(args) -> int:
     from .dqn.train import DQNTrainer
     from .utils.config import DQNConfig, EnvConfig, TrainConfig
@@ -120,6 +131,7 @@ def cmd_train(args) -> int:
                 file=sys.stderr,
             )
 
+    height = _parse_height(args.device_height)
     bank = None
     if args.device_bank:
         from .gen.bank import ConfigBank
@@ -127,7 +139,8 @@ def cmd_train(args) -> int:
         bank = ConfigBank(
             cfg.env.L, cfg.env.M, capacity=cfg.bank_capacity, seed=cfg.seed
         ).fill_device(forward_fraction=args.device_forward,
-                      beam_width=args.device_beam)
+                      beam_width=args.device_beam,
+                      initial_height_max=height[0])
     net = _build_net(args.model, args.dueling, args.joint,
                        getattr(args, "bf16", False),
                        getattr(args, "conv_impl", "conv"))
@@ -153,6 +166,9 @@ def cmd_train(args) -> int:
             device_refresh_every=args.device_refresh,
             device_forward_fraction=args.device_forward,
             device_beam_width=args.device_beam,
+            device_height=height,
+            adaptive_share=args.adaptive_share,
+            adapt_every=args.adapt_every,
         )
     if args.checkpoint:
         # Checkpoint BEFORE the final evaluation: the eval path compiles
@@ -249,7 +265,8 @@ def cmd_eval(args) -> int:
 
         bank = ConfigBank(
             args.lines, args.moves, capacity=args.bank, seed=args.seed
-        ).fill_device(forward_fraction=args.device_forward)
+        ).fill_device(forward_fraction=args.device_forward,
+                      beam_width=args.device_beam)
     trainer = DQNTrainer(
         cfg, bank=bank, net=_build_net(args.model, args.dueling, args.joint,
                        getattr(args, "bf16", False),
@@ -476,6 +493,23 @@ def main(argv=None) -> int:
              "(gen/jax_forward.py); applies to --device-bank fill and "
              "--device-refresh regeneration",
     )
+    p.add_argument(
+        "--device-height", default="4", metavar="H0[:H1]",
+        help="forward generator initial_height_max — a fixed int, or "
+             "'H0:H1' to anneal linearly over the run (graduated forward "
+             "difficulty: taller prefill = fewer rows to complete = easier)",
+    )
+    p.add_argument(
+        "--adaptive-share", action="store_true",
+        help="closed-loop forward share: every --adapt-every chunks, "
+             "evaluate greedy win rate on per-family probe banks and "
+             "reallocate --device-forward toward the weaker family "
+             "(failure-rate proportional, EMA, clipped to [0.1, 0.9])",
+    )
+    p.add_argument(
+        "--adapt-every", type=int, default=20, metavar="K",
+        help="chunks between adaptive-share probe evaluations",
+    )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument(
         "--model", choices=["mlp", "conv"], default="mlp",
@@ -513,9 +547,18 @@ def main(argv=None) -> int:
     _add_env_flags(p)
     p.add_argument("--episodes", type=int, default=1024)
     p.add_argument("--bank", type=int, default=256)
+    p.add_argument(
+        "--device-beam", type=int, default=8, metavar="K",
+        help="beam width for the device-forward prover; MUST match the "
+             "training run's --device-beam or the rebuilt bank differs",
+    )
     p.add_argument("--device-bank", action="store_true",
                    help="fill the bank with the device carver (+forward) "
-                        "like cli train, instead of the host fill path")
+                        "like cli train, instead of the host fill path. "
+                        "NOTE: this reproduces only the INITIAL fill — a "
+                        "training run with --device-refresh churned its "
+                        "bank every K chunks, so the rebuilt bank is not "
+                        "the set of configs most training actually saw")
     p.add_argument("--device-forward", type=float, default=0.0, metavar="F",
                    help="device-forward row fraction for --device-bank; "
                         "match the training run's value")

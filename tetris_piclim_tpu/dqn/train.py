@@ -453,6 +453,10 @@ class DQNTrainer:
         device_refresh_every: int = 0,
         device_forward_fraction: float = 0.0,
         device_beam_width: int = 8,
+        device_height: Optional[tuple[int, int]] = None,
+        adaptive_share: bool = False,
+        adapt_every: int = 20,
+        adapt_episodes: int = 1024,
     ) -> dict:
         """``device_refresh_every=k`` regenerates the carve-family bank rows
         ON DEVICE every k chunks (fresh PRNG key each time) — the training
@@ -462,7 +466,25 @@ class DQNTrainer:
         regenerates that share of the bank as PROVEN on-device
         forward-family configs (gen/jax_forward.py), making BOTH config
         families infinite distributions. ``refresh_bank`` additionally runs
-        the two host producer threads (carve + forward generate+prove)."""
+        the two host producer threads (carve + forward generate+prove).
+
+        ``device_height=(h0, h1)`` anneals the forward generator's
+        ``initial_height_max`` linearly from h0 to h1 over THIS call's
+        steps — a graduated-difficulty curriculum: a taller prefill leaves
+        fewer rows for the policy to complete, so the forward family starts
+        easy (dense reward) and hardens toward the reference's canonical
+        height cap (4; tetris_algo_main/main.py:38). Each distinct integer
+        height compiles the (static-arg) device generator once; with the
+        persistent compile cache that is a one-time cost.
+
+        ``adaptive_share=True`` turns the per-task forward-share dial into
+        a closed-loop controller: every ``adapt_every`` chunks the trainer
+        evaluates the greedy policy on two fixed PROBE banks (one per
+        family, device-generated, disjoint seeds from both the training
+        bank and any holdout) and reallocates the forward share of the
+        next bank refreshes proportionally to each family's failure rate,
+        EMA-smoothed and clipped to [0.1, 0.9]. One recipe, no per-task
+        hand tuning (round-3 finding: the best share is task-dependent)."""
         cfg = self.cfg
         total = total_steps if total_steps is not None else cfg.total_steps
         chunk = max(1, min(cfg.log_every, total))
@@ -471,18 +493,57 @@ class DQNTrainer:
         since_ckpt = 0  # periodic checkpointing (cfg.checkpoint_every > 0)
         chunk_i = 0
         bank_keys = np.random.default_rng(cfg.seed + 0xBA4E)
+        share = float(device_forward_fraction)
+        probe_c = probe_f = None
+        if adaptive_share:
+            # Fixed probe banks: the controller's measurement set. Fresh
+            # device-generated rows under dedicated seeds — NOT the holdout
+            # (controller feedback from the holdout would leak it into
+            # training decisions) and not the churning training bank.
+            probe_c = ConfigBank(
+                cfg.env.L, cfg.env.M, capacity=512, seed=cfg.seed + 7001
+            ).fill_device(forward_fraction=0.0)
+            probe_f = ConfigBank(
+                cfg.env.L, cfg.env.M, capacity=512, seed=cfg.seed + 7002
+            ).fill_device(
+                forward_fraction=1.0, beam_width=device_beam_width
+            )
         if refresh_bank:
             self.bank.start_refresh()
         try:
             t0 = time.time()
             while done_steps < total:
+                probe = None
+                if adaptive_share and chunk_i and chunk_i % adapt_every == 0:
+                    k_pc, k_pf = (
+                        jax.random.PRNGKey(int(bank_keys.integers(2**31 - 1))),
+                        jax.random.PRNGKey(int(bank_keys.integers(2**31 - 1))),
+                    )
+                    wc = self.evaluate(
+                        adapt_episodes, bank=probe_c, key=k_pc
+                    )["win_rate"]
+                    wf = self.evaluate(
+                        adapt_episodes, bank=probe_f, key=k_pf
+                    )["win_rate"]
+                    # allocate data ∝ failure rate; +0.05 keeps both
+                    # families sampled when one saturates
+                    target = (1.0 - wf + 0.05) / ((1.0 - wc) + (1.0 - wf) + 0.10)
+                    share = min(0.9, max(0.1, 0.5 * share + 0.5 * target))
+                    probe = {"probe_carve": wc, "probe_forward": wf}
                 if device_refresh_every and chunk_i and (
                     chunk_i % device_refresh_every == 0
                 ):
+                    if device_height is not None:
+                        h0, h1 = device_height
+                        frac = done_steps / max(total, 1)
+                        height_now = int(round(h0 + (h1 - h0) * frac))
+                    else:
+                        height_now = 4
                     self.bank.refresh_device(
                         jax.random.PRNGKey(int(bank_keys.integers(2**31 - 1))),
-                        forward_fraction=device_forward_fraction,
+                        forward_fraction=share,
                         beam_width=device_beam_width,
+                        initial_height_max=height_now,
                     )
                 chunk_i += 1
                 n = min(chunk, total - done_steps)
@@ -516,6 +577,12 @@ class DQNTrainer:
                     # bank churn: rows replaced so far + family mix
                     row["bank_writes"] = self.bank.refresh_writes
                     row["bank_families"] = self.bank.family_counts
+                if device_refresh_every and (
+                    adaptive_share or device_height is not None
+                ):
+                    row["forward_share"] = round(share, 4)
+                if probe is not None:
+                    row.update(probe)
                 history.append(row)
                 if log_fn is not None:
                     extra = (
@@ -523,6 +590,13 @@ class DQNTrainer:
                         f" families={row['bank_families']}"
                         if refresh_bank else ""
                     )
+                    if "forward_share" in row:
+                        extra += f" share={row['forward_share']:.2f}"
+                    if probe is not None:
+                        extra += (
+                            f" probe_c={probe['probe_carve']:.3f}"
+                            f" probe_f={probe['probe_forward']:.3f}"
+                        )
                     log_fn(
                         f"[{row['step']:>7}] env_steps={row['env_steps']:.2e} "
                         f"win_rate={row['win_rate']:.3f} loss={row['loss']:.4f} "
@@ -606,6 +680,11 @@ class DQNTrainer:
             def run(params, env):
                 def body(env, _):
                     obs = self.backend.observe_batch(env)
+                    # eps is HARDCODED 0.0 (greedy): the PRNGKey(0) below is
+                    # dead — select_actions only consumes the key on the
+                    # exploration branch. If this rollout ever grows an
+                    # eps > 0 mode, thread a real key through the scan or
+                    # every env explores identically every step.
                     rot, col = agent_lib.select_actions(
                         self.apply_fn, params, obs,
                         jnp.float32(0.0), jax.random.PRNGKey(0),

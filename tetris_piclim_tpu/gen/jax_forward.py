@@ -440,7 +440,11 @@ def generate_batch_device(
     )
 
 
+# ``initial_height_max`` is deliberately TRACED (not static): it feeds one
+# arithmetic comparison in the prefill, so an annealed height curriculum
+# (cli --device-height H0:H1) reuses a single compiled program instead of
+# recompiling the expensive beam-prove pipeline per distinct height.
 generate_batch_device_jit = jax.jit(
     generate_batch_device,
-    static_argnames=("n", "L", "M", "initial_height_max", "beam_width"),
+    static_argnames=("n", "L", "M", "beam_width"),
 )
