@@ -101,13 +101,24 @@ def main() -> None:
             "weak_scaling_efficiency": round(eff, 4),
         })
         print(json.dumps(rows[-1]), file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "weak_scaling_efficiency",
         "value": rows[-1]["weak_scaling_efficiency"],
         "unit": f"fraction at {sizes[-1]} devices",
         "backend": jax.default_backend(),
         "rows": rows,
-    }))
+    }
+    if jax.default_backend() == "cpu":
+        # self-describing artifact: without this a reader of the JSON alone
+        # would read "scaling is broken" when what was measured is host
+        # oversubscription (N virtual devices time-slicing 2 host cores)
+        out["caveat"] = (
+            f"{sizes[-1]} virtual CPU devices share "
+            f"{os.cpu_count()} host cores; this measures host "
+            "oversubscription, not ICI scaling — rerun on a real pod "
+            "for the north-star number"
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

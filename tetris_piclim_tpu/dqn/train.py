@@ -49,6 +49,28 @@ class ChunkMetrics(NamedTuple):
     q_mean_sum: jax.Array
 
 
+def adapt_share(share: float, win_carve: float, win_forward: float) -> float:
+    """One adaptive-share controller step: reallocate the forward share of
+    the training bank toward the weaker family, proportional to failure
+    rates, EMA-smoothed (alpha 0.5) and clipped to [0.1, 0.9]. The +0.05
+    floor keeps both families sampled when one saturates at ~100%."""
+    target = (1.0 - win_forward + 0.05) / (
+        (1.0 - win_carve) + (1.0 - win_forward) + 0.10
+    )
+    return min(0.9, max(0.1, 0.5 * share + 0.5 * target))
+
+
+def height_at(device_height, done_steps: int, total_steps: int) -> int:
+    """Graduated forward difficulty: initial_height_max linearly annealed
+    from h0 to h1 over the run (None -> the reference's canonical 4,
+    tetris_algo_main/main.py:38)."""
+    if device_height is None:
+        return 4
+    h0, h1 = device_height
+    frac = done_steps / max(total_steps, 1)
+    return int(round(h0 + (h1 - h0) * frac))
+
+
 class DQNTrainer:
     def __init__(
         self,
@@ -473,9 +495,9 @@ class DQNTrainer:
         steps — a graduated-difficulty curriculum: a taller prefill leaves
         fewer rows for the policy to complete, so the forward family starts
         easy (dense reward) and hardens toward the reference's canonical
-        height cap (4; tetris_algo_main/main.py:38). Each distinct integer
-        height compiles the (static-arg) device generator once; with the
-        persistent compile cache that is a one-time cost.
+        height cap (4; tetris_algo_main/main.py:38). The height is a TRACED
+        argument of the device generator (gen/jax_forward.py), so the whole
+        anneal reuses one compiled program.
 
         ``adaptive_share=True`` turns the per-task forward-share dial into
         a closed-loop controller: every ``adapt_every`` chunks the trainer
@@ -525,20 +547,12 @@ class DQNTrainer:
                     wf = self.evaluate(
                         adapt_episodes, bank=probe_f, key=k_pf
                     )["win_rate"]
-                    # allocate data ∝ failure rate; +0.05 keeps both
-                    # families sampled when one saturates
-                    target = (1.0 - wf + 0.05) / ((1.0 - wc) + (1.0 - wf) + 0.10)
-                    share = min(0.9, max(0.1, 0.5 * share + 0.5 * target))
+                    share = adapt_share(share, wc, wf)
                     probe = {"probe_carve": wc, "probe_forward": wf}
                 if device_refresh_every and chunk_i and (
                     chunk_i % device_refresh_every == 0
                 ):
-                    if device_height is not None:
-                        h0, h1 = device_height
-                        frac = done_steps / max(total, 1)
-                        height_now = int(round(h0 + (h1 - h0) * frac))
-                    else:
-                        height_now = 4
+                    height_now = height_at(device_height, done_steps, total)
                     self.bank.refresh_device(
                         jax.random.PRNGKey(int(bank_keys.integers(2**31 - 1))),
                         forward_fraction=share,

@@ -365,9 +365,18 @@ def _beam_prove(
         sol_len = jnp.where(newly, i + 1, sol_len)
         done = done | any_win
 
-        # wins are recorded, not expanded; duplicates keep one copy
+        # wins are recorded, not expanded; duplicates keep one copy.
+        # Dedup runs over VALID, non-winning slots only: an invalid slot
+        # (dead beam, top-out garbage) or a recorded win that happened to
+        # share a hash and sort earlier would otherwise suppress the only
+        # valid copy of a state. Invalid slots get slot-unique sentinel
+        # hashes (0..K*40-1; a real hash landing there is a ~1e-7 event,
+        # no worse than the 32-bit collision risk dedup already carries).
         score = jnp.where(win_now, _NEG, score).reshape(N, K * 40)
+        flat_ok = (valid & ~win_now).reshape(N, K * 40)
         h = succ_hash.reshape(N, K * 40)
+        slot = jnp.arange(K * 40, dtype=jnp.uint32)[None, :]
+        h = jnp.where(flat_ok, h, slot)
         order = jnp.argsort(h, axis=1)
         hs = jnp.take_along_axis(h, order, axis=1)
         dup_sorted = jnp.concatenate(
