@@ -122,6 +122,24 @@ def main() -> None:
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
     }
+    # MFU of the flagship TRAINING recipe alongside the headline (VERDICT r3
+    # #3): chunk throughput + model-FLOPs utilization from XLA's cost model
+    # (benchmarks/bench_mfu.py). Guarded: the headline number must survive
+    # even if the training-chunk compile path wedges.
+    if not os.environ.get("BENCH_NO_MFU"):
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks"),
+            )
+            from bench_mfu import measure as mfu_measure
+
+            mm = mfu_measure(num_envs=2048, scan=512, updates=4, bf16=True)
+            result["train_env_steps_per_s"] = mm["chunk_env_steps_per_s"]
+            result["train_mfu"] = mm["chunk_mfu"]
+            result["train_learner_share"] = mm["learner_share_of_chunk"]
+        except Exception as e:  # noqa: BLE001
+            print(f"# mfu section unavailable: {e!r:.200}", file=sys.stderr)
     print(json.dumps(result))
     print(
         f"# path={path} envs={NUM_ENVS} scan={SCAN_STEPS} repeats={times} "
