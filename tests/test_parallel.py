@@ -210,3 +210,63 @@ def test_fused_actor_mesh_divisibility_contract():
     )
     with pytest.raises(ValueError, match="divisible"):
         DQNTrainer(cfg, mesh=mesh1)
+
+
+@pytest.mark.slow
+def test_fused_actor_executes_on_two_devices():
+    """EXECUTE (not just lower) the shard_map-wrapped fused actor at n>1
+    (VERDICT r3 #5): 2 virtual devices, 16 envs (8 per shard = minimum
+    tile), K=1 kernel phases, interpret mode. Partitioning bugs that only
+    manifest at execution — per-shard PRNG folding, psum placement — are
+    exactly what lowering-only validation (the 8-device test above) cannot
+    catch. Kept to 2 shards because each interpreter shard runs serially
+    on CPU (tens of minutes at 8 shards)."""
+    import dataclasses
+
+    mesh2 = make_mesh(2)
+    # bank of ONE config: every env starts identical, so if the per-shard
+    # PRNG seed fold (axis_index) were broken the two shards would take
+    # identical exploration actions and evolve identical boards
+    cfg = dataclasses.replace(
+        _tiny_cfg(2), num_envs=16, bank_capacity=1, actor_fusion=1
+    )
+    trainer = DQNTrainer(cfg, mesh=mesh2)
+    assert trainer._fused_tile == 8
+    shard_bank(mesh2, trainer.bank)
+    trainer.state = shard_train_state(mesh2, trainer.state)
+
+    ts, metrics = trainer._chunk(
+        trainer.state, trainer._bank_boards(), trainer.bank.pieces, n_steps=4
+    )
+    jax.block_until_ready(ts.params)
+
+    # executed, stepped, and psum-reduced metrics are in range
+    assert int(ts.global_step) == 4
+    episodes = int(metrics.episodes)
+    assert 0 <= episodes <= 16 * 4
+    assert 0 <= int(metrics.wins) <= episodes
+
+    # env states still sharded over both devices
+    env_leaf = jax.tree.leaves(ts.env)[0]
+    assert len(env_leaf.sharding.device_set) == 2
+
+    # Per-shard PRNG decorrelation CANNOT be observed through interpret-mode
+    # exploration: pltpu.prng_random_bits returns ALL ZEROS in the CPU
+    # interpreter (verified directly — any seed gives zeros), so every
+    # interpret-mode env "explores" deterministically and shards evolve
+    # identically regardless of the seed fold. On hardware the fold is
+    # live; here we verify the fold itself delivers distinct per-shard
+    # seeds through the same shard_map machinery the trainer uses.
+    import jax.numpy as jnp
+
+    def fold(seed):
+        return seed + jax.lax.axis_index("dp") * 7919
+
+    seeds = jax.shard_map(
+        lambda s: fold(s)[None],
+        mesh=mesh2,
+        in_specs=jax.sharding.PartitionSpec(),
+        out_specs=jax.sharding.PartitionSpec("dp"),
+    )(jnp.int32(1234))
+    seeds = np.asarray(seeds)
+    assert seeds.shape == (2,) and seeds[0] != seeds[1], seeds
