@@ -82,14 +82,47 @@ class ConfigBank:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
-        self._host_boards = np.zeros((capacity, BOARD_H, BOARD_W), dtype=bool)
-        self._host_pieces = np.zeros((capacity, self.P), dtype=np.int8)
+        self._mb = np.zeros((capacity, BOARD_H, BOARD_W), dtype=bool)
+        self._mp = np.zeros((capacity, self.P), dtype=np.int8)
+        # the host mirror goes STALE after an all-device refresh (the fast
+        # path never pulls the bank over the device link); any host-side
+        # consumer re-materializes it lazily via the properties below
+        self._mirror_stale = False
         # per-row provenance: FAMILY_CARVE or FAMILY_FORWARD
         self._family = np.zeros(capacity, dtype=np.int8)
         self._fill_count = 0
         self._refresh_writes = 0
         self.boards: Optional[jax.Array] = None
         self.pieces: Optional[jax.Array] = None
+
+    # -- host mirror (lazy) --------------------------------------------------
+
+    def _materialize_mirror(self) -> None:
+        self._mb = np.array(self.boards)
+        self._mp = np.array(self.pieces)
+        self._mirror_stale = False
+
+    @property
+    def _host_boards(self) -> np.ndarray:
+        if self._mirror_stale:
+            self._materialize_mirror()
+        return self._mb
+
+    @_host_boards.setter
+    def _host_boards(self, v: np.ndarray) -> None:
+        self._mb = v
+        self._mirror_stale = False
+
+    @property
+    def _host_pieces(self) -> np.ndarray:
+        if self._mirror_stale:
+            self._materialize_mirror()
+        return self._mp
+
+    @_host_pieces.setter
+    def _host_pieces(self, v: np.ndarray) -> None:
+        self._mp = v
+        self._mirror_stale = False
 
     # -- producers ----------------------------------------------------------
 
@@ -264,6 +297,67 @@ class ConfigBank:
         self._fill_count = self.capacity
         return self
 
+    def _device_rows_on_device(
+        self,
+        key,
+        forward_fraction: float,
+        initial_height_max: int,
+        oversample: int,
+        beam_width: int,
+    ):
+        """All-device variant of :meth:`_device_rows`: carve + proven
+        forward rows assembled as DEVICE arrays — the only host syncs are
+        per-chunk scalar winner counts. The host-array path pulls the whole
+        bank over the device link and pushes it back every refresh
+        (~2MB/refresh through the remote-device tunnel, the dominant host
+        cost of per-chunk regeneration in the round-4 profile); this path
+        transfers nothing. Returns (boards, pieces, n_forward_rows)."""
+        from ..ops.bitboard import unpack_board
+        from .jax_carver import generate_batch_device_jit as carve_jit
+
+        k_carve, k_fwd = jax.random.split(key)
+        batch = carve_jit(k_carve, n=self.capacity, L=self.L, M=self.M)
+        boards = unpack_board(batch.boards)
+        pieces = jnp.asarray(batch.pieces, jnp.int8)
+
+        n_fwd = int(self.capacity * forward_fraction)
+        n_got = 0
+        if n_fwd > 0:
+            from .jax_forward import generate_batch_device_jit as fwd_jit
+
+            chunk = _fwd_chunk_for(oversample * n_fwd)
+            slack = int(0.02 * n_fwd)
+            wins, fbs, fps = [], [], []
+            have = 0
+            k = k_fwd
+            for _ in range(-(-oversample * n_fwd // chunk)):
+                if have >= n_fwd - slack:
+                    break
+                k, kc = jax.random.split(k)
+                fb = fwd_jit(
+                    kc, n=chunk, L=self.L, M=self.M,
+                    initial_height_max=initial_height_max,
+                    beam_width=beam_width,
+                )
+                wins.append(fb.winnable)
+                fbs.append(fb.boards)
+                fps.append(fb.pieces)
+                have += int(fb.winnable.sum())  # scalar sync only
+            win = jnp.concatenate(wins)
+            order = jnp.argsort(~win)           # stable: winners first
+            take = order[:n_fwd]
+            fwd_b = unpack_board(jnp.concatenate(fbs)[take])
+            fwd_p = jnp.asarray(jnp.concatenate(fps)[take], jnp.int8)
+            n_got = min(have, n_fwd)
+            use = (jnp.arange(n_fwd) < n_got)
+            boards = boards.at[:n_fwd].set(
+                jnp.where(use[:, None, None], fwd_b, boards[:n_fwd])
+            )
+            pieces = pieces.at[:n_fwd].set(
+                jnp.where(use[:, None], fwd_p, pieces[:n_fwd])
+            )
+        return boards, pieces, n_got
+
     def refresh_device(
         self,
         key=None,
@@ -288,8 +382,23 @@ class ConfigBank:
         if key is None:
             key = jax.random.PRNGKey(self._rng.randint(0, 2**31 - 1))
         with self._lock:
+            if self.boards is None:  # refresh before any fill: seed device
+                self._upload()
             kwargs = {"device": self._device} if self._device is not None else {}
             if forward_fraction > 0:
+                if not any(t.is_alive() for t in self._threads):
+                    # no async host producers own the mirror -> stay fully
+                    # on device; the mirror goes stale (lazy re-pull)
+                    boards, pieces, n_got = self._device_rows_on_device(
+                        key, forward_fraction, initial_height_max,
+                        oversample, beam_width,
+                    )
+                    self.boards = jax.device_put(boards, **kwargs)
+                    self.pieces = jax.device_put(pieces, **kwargs)
+                    self._family[:n_got] = FAMILY_FORWARD
+                    self._family[n_got:] = FAMILY_CARVE
+                    self._mirror_stale = True
+                    return self
                 boards_np, pieces_np, family = self._device_rows(
                     key, forward_fraction, initial_height_max, oversample,
                     beam_width,
@@ -302,17 +411,22 @@ class ConfigBank:
                 return self
             boards_new, pieces_new = self._device_batch(key)
             carve = jnp.asarray(self._family == FAMILY_CARVE)
+            # current rows come from the DEVICE copy (authoritative); the
+            # host mirror may be lazily stale after a fast refresh
             boards = jnp.where(
-                carve[:, None, None], boards_new, jnp.asarray(self._host_boards)
+                carve[:, None, None], boards_new, jnp.asarray(self.boards)
             )
             pieces = jnp.where(
-                carve[:, None], pieces_new, jnp.asarray(self._host_pieces)
+                carve[:, None], pieces_new, jnp.asarray(self.pieces)
             )
             self.boards = jax.device_put(boards, **kwargs)
             self.pieces = jax.device_put(pieces, **kwargs)
-            # host mirror stays authoritative for the async host producers
-            self._host_boards = np.array(boards)
-            self._host_pieces = np.array(pieces)
+            if any(t.is_alive() for t in self._threads):
+                # host mirror stays authoritative for async host producers
+                self._host_boards = np.array(boards)
+                self._host_pieces = np.array(pieces)
+            else:
+                self._mirror_stale = True
         return self
 
     # -- async refresh ------------------------------------------------------
