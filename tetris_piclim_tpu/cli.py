@@ -22,7 +22,8 @@ def _add_env_flags(p: argparse.ArgumentParser) -> None:
 
 
 def _build_net(model: str, dueling: bool, joint: bool = False,
-               bf16: bool = False, conv_impl: str = "conv"):
+               bf16: bool = False, conv_impl: str = "conv",
+               bottleneck: int = 0, pool: int = 1):
     """Q-net from CLI flags; None means the default (reference MLP).
 
     ``bf16`` switches the conv torso's compute dtype to bfloat16 (MXU
@@ -35,7 +36,7 @@ def _build_net(model: str, dueling: bool, joint: bool = False,
 
         dtype = jnp.bfloat16 if bf16 else jnp.float32
         return ConvQNetwork(dueling=dueling, joint=joint, dtype=dtype,
-                            impl=conv_impl)
+                            impl=conv_impl, bottleneck=bottleneck, pool=pool)
     if dueling or joint:
         from .models.qnet import QNetwork
 
@@ -143,7 +144,9 @@ def cmd_train(args) -> int:
                       initial_height_max=height[0])
     net = _build_net(args.model, args.dueling, args.joint,
                        getattr(args, "bf16", False),
-                       getattr(args, "conv_impl", "conv"))
+                       getattr(args, "conv_impl", "conv"),
+                       getattr(args, "bottleneck", 0),
+                       getattr(args, "pool", 1))
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
     if args.warm_start:
         trainer.warm_start(args.warm_start)
@@ -226,7 +229,9 @@ def cmd_curriculum(args) -> int:
         levels, cfg=cfg, seed=args.seed,
         net=_build_net(args.model, args.dueling, args.joint,
                        getattr(args, "bf16", False),
-                       getattr(args, "conv_impl", "conv")),
+                       getattr(args, "conv_impl", "conv"),
+                       getattr(args, "bottleneck", 0),
+                       getattr(args, "pool", 1)),
     )
     hist = tr.train(
         total_steps=args.steps,
@@ -270,7 +275,9 @@ def cmd_eval(args) -> int:
     trainer = DQNTrainer(
         cfg, bank=bank, net=_build_net(args.model, args.dueling, args.joint,
                        getattr(args, "bf16", False),
-                       getattr(args, "conv_impl", "conv"))
+                       getattr(args, "conv_impl", "conv"),
+                       getattr(args, "bottleneck", 0),
+                       getattr(args, "pool", 1))
     )
     if args.checkpoint:
         # params-only: the checkpoint's training shapes (num_envs, replay
@@ -360,7 +367,9 @@ def cmd_play(args) -> int:
 
         net = _build_net(args.model, args.dueling, args.joint,
                        getattr(args, "bf16", False),
-                       getattr(args, "conv_impl", "conv")) or QNetwork()
+                       getattr(args, "conv_impl", "conv"),
+                       getattr(args, "bottleneck", 0),
+                       getattr(args, "pool", 1)) or QNetwork()
         if not args.checkpoint:
             print("--policy greedy requires --checkpoint", file=sys.stderr)
             return 2
@@ -515,6 +524,17 @@ def main(argv=None) -> int:
         "--model", choices=["mlp", "conv"], default="mlp",
         help="mlp = reference-declared 4x128 MLP; conv = conv-torso variant",
     )
+    p.add_argument(
+        "--bottleneck", type=int, default=0, metavar="C",
+        help="conv model: 1x1-conv the torso down to C channels before the "
+             "flatten Dense — shrinks the learner's dominant weight/"
+             "optimizer HBM traffic (round-4 profile) at full spatial "
+             "resolution",
+    )
+    p.add_argument(
+        "--pool", type=int, default=1, metavar="P",
+        help="conv model: PxP max-pool before the flatten Dense",
+    )
     p.set_defaults(fn=cmd_train, _parser=p)
 
     p = sub.add_parser(
@@ -541,6 +561,8 @@ def main(argv=None) -> int:
     p.add_argument("--joint", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv")
+    p.add_argument("--bottleneck", type=int, default=0)
+    p.add_argument("--pool", type=int, default=1)
     p.set_defaults(fn=cmd_curriculum)
 
     p = sub.add_parser("eval", help="greedy-policy win rate")
@@ -574,6 +596,8 @@ def main(argv=None) -> int:
     p.add_argument("--joint", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv")
+    p.add_argument("--bottleneck", type=int, default=0)
+    p.add_argument("--pool", type=int, default=1)
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("generate", help="winnable-config generation")
@@ -598,6 +622,8 @@ def main(argv=None) -> int:
     p.add_argument("--joint", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv")
+    p.add_argument("--bottleneck", type=int, default=0)
+    p.add_argument("--pool", type=int, default=1)
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("bench", help="env-step throughput benchmark")

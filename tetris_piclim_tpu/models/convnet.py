@@ -53,6 +53,29 @@ class ConvQNetwork(nn.Module):
     # different param tree (Dense kernels instead of Conv kernels), so
     # checkpoints don't transfer between impls.
     impl: str = "conv"
+    # Learner-traffic knobs (round-4 profile: each learner update spends
+    # ~190 of its 222us moving the 12817x128 flatten Dense weight and its
+    # AdamW m/v state through HBM — the network's FLOPs are a ~33us
+    # sideshow). Both shrink the flatten width, cutting that traffic:
+    # bottleneck: 1x1 conv to N channels before flatten (learned
+    #   projection, full spatial resolution kept; 64 -> 16 cuts W1 4x).
+    # pool: max-pool (pool x pool, stride pool) before flatten (loses
+    #   spatial precision; cheaper but blunter).
+    bottleneck: int = 0
+    pool: int = 1
+
+    def _narrow(self, x: jax.Array) -> jax.Array:
+        """Shrink the pre-flatten feature map (see bottleneck/pool above).
+        Called from the compact __call__, so submodule creation is legal."""
+        if self.pool > 1:
+            x = nn.max_pool(
+                x, (self.pool, self.pool), strides=(self.pool, self.pool)
+            )
+        if self.bottleneck:
+            x = nn.relu(
+                nn.Conv(self.bottleneck, (1, 1), dtype=self.dtype)(x)
+            )
+        return x
 
     @nn.compact
     def __call__(self, obs: jax.Array) -> jax.Array:
@@ -72,12 +95,14 @@ class ConvQNetwork(nn.Module):
                 flat = patches.reshape((-1, patches.shape[-1]))  # rows=B*200
                 h = nn.relu(nn.Dense(ch, dtype=self.dtype)(flat))
                 x = h.reshape((-1, 20, 10, ch))
+            x = self._narrow(x)
             x = x.reshape(lead + (-1,))
         else:
             for ch in self.channels:
                 x = nn.relu(
                     nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
                 )
+            x = self._narrow(x)
             x = x.reshape(obs.shape[:-1] + (-1,))
         x = jnp.concatenate([x, aux.astype(self.dtype)], axis=-1)
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
