@@ -680,18 +680,25 @@ class DQNTrainer:
         cfg = self.cfg
         bank = bank if bank is not None else self.bank
         key = key if key is not None else jax.random.PRNGKey(cfg.seed + 1)
-        idx = jax.random.randint(
-            key, (n_episodes,), 0, bank.boards.shape[0]
-        )
-        env = self.backend.make_state_batch(
-            bank.boards[idx], bank.pieces[idx], cfg.env.L, cfg.env.M
-        )
 
         # one cached jit per trainer — evaluate() may run several times per
-        # session (train bank + holdout) and a fresh jax.jit every call would
-        # re-trace (~30-60s per compile on the remote TPU tunnel)
-        if not hasattr(self, "_eval_run"):
-            def run(params, env):
+        # session (train bank + holdout + adaptive-share probes) and a fresh
+        # jax.jit every call would re-trace (~30-60s per compile on the
+        # remote TPU tunnel). Bank-row sampling and env construction live
+        # INSIDE the jit: as eager ops they cost several remote-dispatch
+        # round trips per call, which at the adaptive controller's probe
+        # cadence was ~20% of training wall time.
+        if not hasattr(self, "_eval_runs"):
+            self._eval_runs = {}
+        if n_episodes not in self._eval_runs:  # shape-specializing cache
+            def run(params, boards, pieces, key):
+                idx = jax.random.randint(
+                    key, (n_episodes,), 0, boards.shape[0]
+                )
+                env = self.backend.make_state_batch(
+                    boards[idx], pieces[idx], cfg.env.L, cfg.env.M
+                )
+
                 def body(env, _):
                     obs = self.backend.observe_batch(env)
                     # eps is HARDCODED 0.0 (greedy): the PRNGKey(0) below is
@@ -717,9 +724,11 @@ class DQNTrainer:
                 env, _ = jax.lax.scan(body, env, None, length=cfg.env.M + 1)
                 return env
 
-            self._eval_run = jax.jit(run)
+            self._eval_runs[n_episodes] = jax.jit(run)
 
-        final = self._eval_run(self.state.params, env)
+        final = self._eval_runs[n_episodes](
+            self.state.params, bank.boards, bank.pieces, key
+        )
         status = np.asarray(final.status)
         return {
             "episodes": n_episodes,
