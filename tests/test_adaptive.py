@@ -135,3 +135,27 @@ class TestBeamDedupValidity:
         w1 = int(np.asarray(g1.winnable).sum())
         w2 = int(np.asarray(g2.winnable).sum())
         assert w2 >= w1
+
+
+class TestDeviceRowsPoolClamp:
+    def test_pool_smaller_than_n_fwd(self, monkeypatch):
+        """Regression (round-4 stage B2 crash): with ~100% prover yield and
+        n_fwd just over a chunk multiple, the early-stop leaves the
+        candidate pool SMALLER than n_fwd (have >= n_fwd - slack, pool <
+        n_fwd) and the device assembly must clamp to the pool instead of
+        shape-mismatching."""
+        import jax
+
+        from tetris_piclim_tpu.gen import bank as bank_mod
+
+        monkeypatch.setattr(bank_mod, "_FWD_CHUNK", 128)
+        b = bank_mod.ConfigBank(1, 6, capacity=260, seed=5)
+        boards, pieces, n_got = b._device_rows_on_device(
+            jax.random.PRNGKey(0), forward_fraction=0.5,
+            initial_height_max=4, oversample=3, beam_width=8,
+        )
+        # n_fwd = 130 > chunk 128; at ~100% yield the loop breaks after one
+        # chunk (have >= 130 - 2) with a 128-candidate pool
+        assert boards.shape == (260, 20, 10)
+        assert pieces.shape[0] == 260
+        assert 0 < n_got <= 130

@@ -344,17 +344,22 @@ class ConfigBank:
                 fps.append(fb.pieces)
                 have += int(fb.winnable.sum())  # scalar sync only
             win = jnp.concatenate(wins)
+            # the early-stop above can leave the candidate pool SMALLER
+            # than n_fwd (high yield + n_fwd just over a chunk multiple:
+            # have >= n_fwd - slack with pool < n_fwd) — clamp the slice
+            # to the pool or the where() below shape-mismatches
+            n_take = min(n_fwd, int(win.shape[0]))
             order = jnp.argsort(~win)           # stable: winners first
-            take = order[:n_fwd]
+            take = order[:n_take]
             fwd_b = unpack_board(jnp.concatenate(fbs)[take])
             fwd_p = jnp.asarray(jnp.concatenate(fps)[take], jnp.int8)
-            n_got = min(have, n_fwd)
-            use = (jnp.arange(n_fwd) < n_got)
-            boards = boards.at[:n_fwd].set(
-                jnp.where(use[:, None, None], fwd_b, boards[:n_fwd])
+            n_got = min(have, n_take)
+            use = (jnp.arange(n_take) < n_got)
+            boards = boards.at[:n_take].set(
+                jnp.where(use[:, None, None], fwd_b, boards[:n_take])
             )
-            pieces = pieces.at[:n_fwd].set(
-                jnp.where(use[:, None], fwd_p, pieces[:n_fwd])
+            pieces = pieces.at[:n_take].set(
+                jnp.where(use[:, None], fwd_p, pieces[:n_take])
             )
         return boards, pieces, n_got
 
