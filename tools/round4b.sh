@@ -17,6 +17,16 @@ done
 FLAGS="--model conv --dueling --joint --updates 4 --num-envs 2048 --bank 4096 --device-bank --device-refresh 1"
 EVAL="--eval-episodes 8192 --eval-holdout --holdout-bank 2048"
 
+echo "=== stage B2r: L3 adaptive share 500k (rerun after pool-clamp fix) ==="
+timeout 4200 python -m tetris_piclim_tpu.cli train -L 3 -M 20 \
+  $FLAGS --device-forward 0.5 --adaptive-share --adapt-every 20 \
+  --steps 500000 $EVAL \
+  --checkpoint results/ckpt_r4_L3ad --checkpoint-every 100000 \
+  --log-file results/train_r4_L3ad.jsonl \
+  > results/train_r4_L3ad.log 2>&1
+echo "rc=$? stageB2r"
+grep -o '{"train_bank".*' results/train_r4_L3ad.log | tail -1
+
 echo "=== stage E1: L5 bottleneck-16 at the stage-C recipe ==="
 timeout 4200 python -m tetris_piclim_tpu.cli train -L 5 -M 25 \
   $FLAGS --device-forward 0.25 --bottleneck 16 \
