@@ -27,6 +27,19 @@ timeout 4200 python -m tetris_piclim_tpu.cli train -L 3 -M 20 \
 echo "rc=$? stageB2r"
 grep -o '{"train_bank".*' results/train_r4_L3ad.log | tail -1
 
+echo "=== stage E1: L5 bottleneck-16 at the stage-C recipe ==="
+timeout 4200 python -m tetris_piclim_tpu.cli train -L 5 -M 25 \
+  $FLAGS --device-forward 0.25 --bottleneck 16 \
+  --steps 500000 $EVAL \
+  --checkpoint results/ckpt_r4_L5bn16 --checkpoint-every 100000 \
+  --log-file results/train_r4_L5bn16.jsonl \
+  > results/train_r4_L5bn16.log 2>&1
+echo "rc=$? stageE1"
+grep -o '{"train_bank".*' results/train_r4_L5bn16.log | tail -1
+
+if [ "$(date -u +%s)" -gt "$(date -u -d 'today 16:40' +%s)" ]; then
+  echo "SKIP stage Z2: past deadline"
+else
 echo "=== stage Z2: L10 third resume +500k, height 4 ==="
 timeout 4500 python -m tetris_piclim_tpu.cli train -L 10 -M 30 \
   $FLAGS --device-forward 0.25 --device-height 4 \
@@ -38,15 +51,8 @@ timeout 4500 python -m tetris_piclim_tpu.cli train -L 10 -M 30 \
 echo "rc=$? stageZ2"
 grep -o '{"train_bank".*' results/train_r4_L10cont3.log | tail -1
 
-echo "=== stage E1: L5 bottleneck-16 at the stage-C recipe ==="
-timeout 4200 python -m tetris_piclim_tpu.cli train -L 5 -M 25 \
-  $FLAGS --device-forward 0.25 --bottleneck 16 \
-  --steps 500000 $EVAL \
-  --checkpoint results/ckpt_r4_L5bn16 --checkpoint-every 100000 \
-  --log-file results/train_r4_L5bn16.jsonl \
-  > results/train_r4_L5bn16.log 2>&1
-echo "rc=$? stageE1"
-grep -o '{"train_bank".*' results/train_r4_L5bn16.log | tail -1
+fi
+
 
 if [ "$(date -u +%s)" -gt "$(date -u -d 'today 16:55' +%s)" ]; then
   echo "SKIP stage E2: past deadline"
