@@ -142,10 +142,85 @@ def main_r3(out="results/curves_r3.png"):
     print(f"wrote {out}")
 
 
+def main_r4(out="results/curves_r4.png"):
+    """Round-4 figure. Left: the L=10/M=30 budget ladder as ONE curve —
+    the scratch run and its three +500k resumes concatenated at their true
+    cumulative env-step offsets (each resume's log restarts at step 0).
+    Right: the adaptive-share arms (one default recipe, four tasks). Fixed
+    task->hue slots as in the r2/r3 figures."""
+    SLOT = {"L2": "#2a78d6", "L3": "#eb6834", "L5": "#3d9970",
+            "L10": "#eda100"}
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(13, 5))
+
+    ladder = [
+        ("results/train_r3_L10M30df.log", 0.0),
+        ("results/train_r3_L10cont.log", 1.024e9),
+        ("results/train_r4_L10cont.log", 1.638e9),
+        ("results/train_r4_L10cont2.log", 2.662e9),
+        ("results/train_r4_L10cont3.log", 3.686e9),
+    ]
+    xs, ys = [], []
+    marks = []
+    for path, off in ladder:
+        try:
+            steps, wr = parse(path)
+        except FileNotFoundError:
+            continue
+        if steps:
+            xs.extend(s + off for s in steps)
+            ys.extend(wr)
+            marks.append(xs[-1] / 1e9)
+    ax1.plot([x / 1e9 for x in xs], ys, color=SLOT["L10"], lw=1.5)
+    for m in marks[:-1]:
+        ax1.axvline(m, color="#bbbbbb", lw=0.8, ls=":")
+    # held-out evals at each cutoff (holdout / forward-family)
+    evals = [(1.024, 0.535, 0.213), (1.638, 0.626, 0.351),
+             (2.662, 0.675, 0.448), (3.686, 0.742, 0.549)]
+    ax1.scatter([e[0] for e in evals], [e[1] for e in evals],
+                color="#444444", zorder=5, s=22, label="held-out (mixed)")
+    ax1.scatter([e[0] for e in evals], [e[2] for e in evals],
+                color="#444444", zorder=5, s=22, marker="^",
+                label="held-out (forward family)")
+    ax1.set_xlabel("cumulative environment steps (billions)")
+    ax1.set_ylabel("win rate")
+    ax1.set_title("L=10/M=30 budget ladder — training curve + resume evals")
+    ax1.legend(loc="upper left", fontsize=8)
+    ax1.grid(alpha=0.25, lw=0.5)
+
+    arms = [
+        ("results/train_r4_L2ad.log", "L=2 adaptive", SLOT["L2"]),
+        ("results/train_r4_L3ad.log", "L=3 adaptive", SLOT["L3"]),
+        ("results/train_r4_L5ad.log", "L=5 adaptive", SLOT["L5"]),
+        ("results/train_r4_L10ad.log", "L=10 adaptive", SLOT["L10"]),
+    ]
+    for path, label, color in arms:
+        try:
+            steps, wr = parse(path)
+        except FileNotFoundError:
+            continue
+        if steps:
+            ax2.plot(steps, wr, label=label, color=color, lw=1.8)
+    ax2.set_xscale("log")
+    ax2.set_xlabel("environment steps")
+    ax2.set_ylabel("training win rate (ε→0.05, fresh configs every chunk)")
+    ax2.set_title("Adaptive forward share — one recipe, four tasks")
+    ax2.legend(loc="upper left", fontsize=8)
+    ax2.grid(alpha=0.25, lw=0.5)
+
+    for ax in (ax1, ax2):
+        for spine in ("top", "right"):
+            ax.spines[spine].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "r2":
         main_r2(*sys.argv[2:])
     elif len(sys.argv) > 1 and sys.argv[1] == "r3":
         main_r3(*sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "r4":
+        main_r4(*sys.argv[2:])
     else:
         main(*sys.argv[1:])
