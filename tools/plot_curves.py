@@ -175,7 +175,8 @@ def main_r4(out="results/curves_r4.png"):
         ax1.axvline(m, color="#bbbbbb", lw=0.8, ls=":")
     # held-out evals at each cutoff (holdout / forward-family)
     evals = [(1.024, 0.535, 0.213), (1.638, 0.626, 0.351),
-             (2.662, 0.675, 0.448), (3.686, 0.742, 0.549)]
+             (2.662, 0.675, 0.448), (3.686, 0.742, 0.549),
+             (4.710, 0.748, 0.561)]
     ax1.scatter([e[0] for e in evals], [e[1] for e in evals],
                 color="#444444", zorder=5, s=22, label="held-out (mixed)")
     ax1.scatter([e[0] for e in evals], [e[2] for e in evals],
