@@ -159,3 +159,18 @@ class TestDeviceRowsPoolClamp:
         assert boards.shape == (260, 20, 10)
         assert pieces.shape[0] == 260
         assert 0 < n_got <= 130
+
+
+class TestAdaptShareV2:
+    def test_raises_only_on_absolute_weakness(self):
+        from tetris_piclim_tpu.dqn.train import adapt_share_v2
+
+        # forward < half of carve -> failure-proportional raise
+        assert adapt_share_v2(0.25, 0.55, 0.15) > 0.3
+        # forward healthy -> decays to the 0.25 prior
+        s = 0.6
+        for _ in range(10):
+            s = adapt_share_v2(s, 0.9, 0.8)
+        assert abs(s - 0.25) < 0.01
+        # clipping still applies
+        assert adapt_share_v2(1.0, 1.0, 0.0) <= 0.9

@@ -172,6 +172,7 @@ def cmd_train(args) -> int:
             device_height=height,
             adaptive_share=args.adaptive_share,
             adapt_every=args.adapt_every,
+            adapt_rule=args.adapt_rule,
         )
     if args.checkpoint:
         # Checkpoint BEFORE the final evaluation: the eval path compiles
@@ -518,6 +519,12 @@ def main(argv=None) -> int:
     p.add_argument(
         "--adapt-every", type=int, default=20, metavar="K",
         help="chunks between adaptive-share probe evaluations",
+    )
+    p.add_argument(
+        "--adapt-rule", choices=["v1", "v2"], default="v1",
+        help="v1 = failure-rate-proportional; v2 = 0.25-prior-anchored, "
+             "raises the share only while the forward probe is < half the "
+             "carve probe (round-4 finding)",
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument(

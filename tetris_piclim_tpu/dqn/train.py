@@ -60,6 +60,24 @@ def adapt_share(share: float, win_carve: float, win_forward: float) -> float:
     return min(0.9, max(0.1, 0.5 * share + 0.5 * target))
 
 
+def adapt_share_v2(share: float, win_carve: float, win_forward: float,
+                   prior: float = 0.25) -> float:
+    """Prior-anchored controller (round-4 finding: pure failure-rate
+    equalization over-feeds the intrinsically-harder family by ~3-5 carve
+    points on every task where the optimum is the 0.25 prior). Raise the
+    share above the prior ONLY while the forward family is weak in
+    ABSOLUTE terms (probe < half the carve probe — the regime where the
+    misallocation catastrophe lives, e.g. L=2's 34%-forward collapse);
+    otherwise decay back to the prior."""
+    if win_forward < 0.5 * win_carve:
+        target = (1.0 - win_forward + 0.05) / (
+            (1.0 - win_carve) + (1.0 - win_forward) + 0.10
+        )
+    else:
+        target = prior
+    return min(0.9, max(0.1, 0.5 * share + 0.5 * target))
+
+
 def height_at(device_height, done_steps: int, total_steps: int) -> int:
     """Graduated forward difficulty: initial_height_max linearly annealed
     from h0 to h1 over the run (None -> the reference's canonical 4,
@@ -479,6 +497,7 @@ class DQNTrainer:
         adaptive_share: bool = False,
         adapt_every: int = 20,
         adapt_episodes: int = 1024,
+        adapt_rule: str = "v1",
     ) -> dict:
         """``device_refresh_every=k`` regenerates the carve-family bank rows
         ON DEVICE every k chunks (fresh PRNG key each time) — the training
@@ -547,7 +566,10 @@ class DQNTrainer:
                     wf = self.evaluate(
                         adapt_episodes, bank=probe_f, key=k_pf
                     )["win_rate"]
-                    share = adapt_share(share, wc, wf)
+                    if adapt_rule == "v2":
+                        share = adapt_share_v2(share, wc, wf)
+                    else:
+                        share = adapt_share(share, wc, wf)
                     probe = {"probe_carve": wc, "probe_forward": wf}
                 if device_refresh_every and chunk_i and (
                     chunk_i % device_refresh_every == 0
