@@ -23,7 +23,8 @@ def _add_env_flags(p: argparse.ArgumentParser) -> None:
 
 def _build_net(model: str, dueling: bool, joint: bool = False,
                bf16: bool = False, conv_impl: str = "conv",
-               bottleneck: int = 0, pool: int = 1):
+               bottleneck: int = 0, pool: int = 1,
+               channels: str = "32,64"):
     """Q-net from CLI flags; None means the default (reference MLP).
 
     ``bf16`` switches the conv torso's compute dtype to bfloat16 (MXU
@@ -36,7 +37,8 @@ def _build_net(model: str, dueling: bool, joint: bool = False,
 
         dtype = jnp.bfloat16 if bf16 else jnp.float32
         return ConvQNetwork(dueling=dueling, joint=joint, dtype=dtype,
-                            impl=conv_impl, bottleneck=bottleneck, pool=pool)
+                            impl=conv_impl, bottleneck=bottleneck, pool=pool,
+                            channels=tuple(int(c) for c in channels.split(",")))
     if dueling or joint:
         from .models.qnet import QNetwork
 
@@ -146,7 +148,8 @@ def cmd_train(args) -> int:
                        getattr(args, "bf16", False),
                        getattr(args, "conv_impl", "conv"),
                        getattr(args, "bottleneck", 0),
-                       getattr(args, "pool", 1))
+                       getattr(args, "pool", 1),
+                       getattr(args, "channels", "32,64"))
     trainer = DQNTrainer(cfg, bank=bank, backend=args.backend, net=net)
     if args.warm_start:
         trainer.warm_start(args.warm_start)
@@ -541,6 +544,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--pool", type=int, default=1, metavar="P",
         help="conv model: PxP max-pool before the flatten Dense",
+    )
+    p.add_argument(
+        "--channels", default="32,64", metavar="C1,C2",
+        help="conv torso channel widths (capacity lever; the round-4 trace "
+             "shows the chip at 20% MFU with headroom for a wider torso)",
     )
     p.set_defaults(fn=cmd_train, _parser=p)
 
