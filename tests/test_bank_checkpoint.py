@@ -1,0 +1,49 @@
+"""Bank checkpoint/restore (round-4 verdict #4).
+
+A ``--device-refresh`` training run churns its ConfigBank every K chunks, so
+the distribution the policy actually trained on is the FINAL bank rows.
+``save_bank`` serializes them next to the TrainState checkpoint;
+``eval --restore-bank`` reads them back instead of rebuilding the initial
+fill (which is NOT what training saw)."""
+
+import numpy as np
+
+from tetris_piclim_tpu.gen.bank import ConfigBank
+from tetris_piclim_tpu.utils.checkpoint import restore_bank, save_bank
+
+
+class TestBankCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        bank = ConfigBank(1, 8, capacity=16, seed=3).fill(carve_fraction=1.0)
+        out = save_bank(str(tmp_path / "ck"), bank)
+        assert out.endswith("bank.npz")
+        b2 = restore_bank(str(tmp_path / "ck"))
+        assert (b2.L, b2.M, b2.capacity) == (1, 8, 16)
+        assert np.array_equal(np.asarray(b2.boards), np.asarray(bank.boards))
+        assert np.array_equal(np.asarray(b2.pieces), np.asarray(bank.pieces))
+        assert b2.family_counts == bank.family_counts
+        assert b2.row_keys() == bank.row_keys()
+
+    def test_restore_accepts_npz_path(self, tmp_path):
+        bank = ConfigBank(1, 8, capacity=8, seed=5).fill(carve_fraction=1.0)
+        out = save_bank(str(tmp_path / "ck"), bank)
+        b2 = restore_bank(out)
+        assert b2.row_keys() == bank.row_keys()
+
+    def test_saves_live_rows_after_device_refresh(self):
+        """After an all-device refresh the host mirror is stale; save_bank
+        must serialize the LIVE device rows, not the stale mirror."""
+        import jax
+
+        bank = ConfigBank(1, 8, capacity=8, seed=7).fill(carve_fraction=1.0)
+        before = bank.row_keys()
+        bank.refresh_device(jax.random.PRNGKey(123))
+        assert bank._mirror_stale  # fast path taken — precondition
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            save_bank(td, bank)
+            b2 = restore_bank(td)
+        # restored rows match the refreshed device bank, not the old fill
+        assert np.array_equal(np.asarray(b2.boards), np.asarray(bank.boards))
+        assert b2.row_keys() != before

@@ -77,7 +77,9 @@ def cmd_train(args) -> int:
             dqn=DQNConfig(n_step=args.n_step, prioritized=args.per,
                           eps_decay=args.eps_decay,
                           double_dqn=args.double,
-                          batch_size=args.batch),
+                          batch_size=args.batch,
+                          lr=args.lr,
+                          opt_state_bf16=args.opt_bf16),
             num_envs=args.num_envs,
             bank_capacity=args.bank,
             replay_capacity=args.replay,
@@ -89,6 +91,9 @@ def cmd_train(args) -> int:
             seed=args.seed,
             checkpoint_dir=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
+            demo_every=args.demo_every,
+            demo_ratio=args.demo_ratio,
+            demo_rows=args.demo_rows,
         )
     if args.config:
         import dataclasses
@@ -135,6 +140,17 @@ def cmd_train(args) -> int:
             )
 
     height = _parse_height(args.device_height)
+    if args.device_refresh == 0 and (
+        args.adaptive_share or height[0] != height[1]
+    ):
+        # ADVICE r4: without refreshes the controller's share is computed but
+        # never applied, and a height anneal leaves the bank at h0 forever
+        print(
+            "warning: --adaptive-share / --device-height H0:H1 have no "
+            "effect without --device-refresh K > 0 (the share/height only "
+            "apply when bank rows are regenerated)",
+            file=sys.stderr,
+        )
     bank = None
     if args.device_bank:
         from .gen.bank import ConfigBank
@@ -184,6 +200,12 @@ def cmd_train(args) -> int:
         final = (f"{args.checkpoint}/final" if args.checkpoint_every > 0
                  else args.checkpoint)
         save_train_state(final, trainer.state)
+        # the LIVE bank rows go with the model: under --device-refresh the
+        # training distribution is the final bank, not the initial fill —
+        # eval --restore-bank reads this back (round-4 verdict #4)
+        from .utils.checkpoint import save_bank
+
+        save_bank(final, trainer.bank)
         print(f"checkpoint saved to {final}", file=sys.stderr)
     ev = trainer.evaluate(n_episodes=args.eval_episodes)
     ev = {"train_bank": ev}
@@ -235,7 +257,8 @@ def cmd_curriculum(args) -> int:
                        getattr(args, "bf16", False),
                        getattr(args, "conv_impl", "conv"),
                        getattr(args, "bottleneck", 0),
-                       getattr(args, "pool", 1)),
+                       getattr(args, "pool", 1),
+                       getattr(args, "channels", "32,64")),
     )
     hist = tr.train(
         total_steps=args.steps,
@@ -266,22 +289,39 @@ def cmd_eval(args) -> int:
         seed=args.seed,
     )
     bank = None
-    if args.device_bank:
+    if args.restore_bank:
+        # the exact final bank rows a --device-refresh training run saved
+        # alongside its checkpoint — the distribution training actually saw
+        from .utils.checkpoint import restore_bank
+
+        bank = restore_bank(args.restore_bank)
+        if (bank.L, bank.M) != (args.lines, args.moves):
+            print(
+                f"--restore-bank task (L={bank.L}, M={bank.M}) does not "
+                f"match -L {args.lines} -M {args.moves}",
+                file=sys.stderr,
+            )
+            return 2
+    elif args.device_bank:
         # rebuild the bank the way the TRAINING run did (same fill path,
-        # forward fraction, capacity, seed) so the "bank" metric and the
-        # holdout disjointness check run against the training distribution
+        # forward fraction, capacity, seed, beam, height) so the "bank"
+        # metric and the holdout disjointness check run against the
+        # training distribution. NOTE: only the INITIAL fill — prefer
+        # --restore-bank for --device-refresh runs.
         from .gen.bank import ConfigBank
 
         bank = ConfigBank(
             args.lines, args.moves, capacity=args.bank, seed=args.seed
         ).fill_device(forward_fraction=args.device_forward,
-                      beam_width=args.device_beam)
+                      beam_width=args.device_beam,
+                      initial_height_max=_parse_height(args.device_height)[0])
     trainer = DQNTrainer(
         cfg, bank=bank, net=_build_net(args.model, args.dueling, args.joint,
                        getattr(args, "bf16", False),
                        getattr(args, "conv_impl", "conv"),
                        getattr(args, "bottleneck", 0),
-                       getattr(args, "pool", 1))
+                       getattr(args, "pool", 1),
+                       getattr(args, "channels", "32,64"))
     )
     if args.checkpoint:
         # params-only: the checkpoint's training shapes (num_envs, replay
@@ -373,7 +413,8 @@ def cmd_play(args) -> int:
                        getattr(args, "bf16", False),
                        getattr(args, "conv_impl", "conv"),
                        getattr(args, "bottleneck", 0),
-                       getattr(args, "pool", 1)) or QNetwork()
+                       getattr(args, "pool", 1),
+                       getattr(args, "channels", "32,64")) or QNetwork()
         if not args.checkpoint:
             print("--policy greedy requires --checkpoint", file=sys.stderr)
             return 2
@@ -475,6 +516,27 @@ def main(argv=None) -> int:
     p.add_argument("--joint", action="store_true",
                    help="40-way joint (rotation, column) head instead of the "
                         "additive factored 14-way head (either model)")
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="learner AdamW learning rate (reference-declared "
+                        "1e-4 at batch 128; retune when scaling --batch — "
+                        "sqrt rule: lr * sqrt(batch/128))")
+    p.add_argument("--opt-bf16", action="store_true",
+                   help="store AdamW moment state (m, v, v_max) in bfloat16 "
+                        "— halves the dominant optimizer HBM traffic of the "
+                        "learner update (round-4 trace: ~58MB/update, "
+                        "memory-bound) with no model change")
+    p.add_argument("--demo-every", type=int, default=0, metavar="K",
+                   help="demonstration-augmented training: every K chunks, "
+                        "refresh a persistent demo replay buffer with "
+                        "transitions from PROVEN winning trajectories (the "
+                        "device beam prover's recorded solutions, "
+                        "gen/jax_forward.py) and sample --demo-ratio of "
+                        "every learner batch from it (0 = off)")
+    p.add_argument("--demo-ratio", type=float, default=0.25,
+                   help="fraction of each learner batch drawn from the demo "
+                        "buffer when --demo-every > 0")
+    p.add_argument("--demo-rows", type=int, default=1024,
+                   help="forward-prover candidate rows per demo refresh")
     p.add_argument("--batch", type=int, default=128,
                    help="learner batch size (reference-declared default 128; "
                         "batch*updates is the sample throughput — one "
@@ -578,6 +640,9 @@ def main(argv=None) -> int:
     p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv")
     p.add_argument("--bottleneck", type=int, default=0)
     p.add_argument("--pool", type=int, default=1)
+    p.add_argument("--channels", default="32,64",
+                   help="conv torso channel widths (must match any "
+                        "warm-start source checkpoint)")
     p.set_defaults(fn=cmd_curriculum)
 
     p = sub.add_parser("eval", help="greedy-policy win rate")
@@ -599,6 +664,17 @@ def main(argv=None) -> int:
     p.add_argument("--device-forward", type=float, default=0.0, metavar="F",
                    help="device-forward row fraction for --device-bank; "
                         "match the training run's value")
+    p.add_argument("--device-height", default="4", metavar="H0[:H1]",
+                   help="forward-generator initial_height_max for the "
+                        "--device-bank fill; match the training run's H0 "
+                        "(a training anneal H0:H1 fills its INITIAL bank "
+                        "at H0)")
+    p.add_argument("--restore-bank", metavar="CKPT",
+                   help="load the exact LIVE bank rows a training run saved "
+                        "with its final checkpoint (bank.npz) instead of "
+                        "rebuilding — the only faithful option for "
+                        "--device-refresh runs, whose bank churned every "
+                        "K chunks")
     p.add_argument("--eval-holdout", action="store_true",
                    help="also evaluate on a held-out bank (fresh carve key "
                         "+ forward seeds >= 100000, disjointness checked)")
@@ -613,6 +689,10 @@ def main(argv=None) -> int:
     p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv")
     p.add_argument("--bottleneck", type=int, default=0)
     p.add_argument("--pool", type=int, default=1)
+    p.add_argument("--channels", default="32,64",
+                   help="conv torso channel widths — must match the "
+                        "checkpoint's architecture (e.g. the round-5 wide "
+                        "torso trained with --channels 64,128)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("generate", help="winnable-config generation")
@@ -639,6 +719,9 @@ def main(argv=None) -> int:
     p.add_argument("--conv-impl", choices=["conv", "im2col"], default="conv")
     p.add_argument("--bottleneck", type=int, default=0)
     p.add_argument("--pool", type=int, default=1)
+    p.add_argument("--channels", default="32,64",
+                   help="conv torso channel widths — must match the "
+                        "checkpoint's architecture")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("bench", help="env-step throughput benchmark")

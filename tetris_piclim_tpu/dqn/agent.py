@@ -7,7 +7,7 @@ TD updates with a Polyak-averaged target network, AdamW(amsgrad).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -93,12 +93,78 @@ def td_loss(
     return loss, aux
 
 
+class _AmsgradBf16State(NamedTuple):
+    count: jax.Array
+    mu: dict
+    nu: dict
+    nu_max: dict
+
+
+def scale_by_amsgrad_bf16(
+    b1: float = 0.9, b2: float = 0.999,
+    eps: float = 1e-8, eps_root: float = 0.0,
+) -> optax.GradientTransformation:
+    """AMSGrad whose moment buffers (mu, nu, nu_max) are STORED in bfloat16.
+
+    The round-4 device trace (results/trace_r4_summary.json) shows the
+    learner update memory-bound on ~58MB of HBM traffic dominated by the
+    flatten-Dense weight's optimizer state; bf16 moments halve the three
+    largest buffers with no model/architecture change. Arithmetic is f32
+    (moments are up-cast per update, the rounding happens only at the
+    store), matching optax.scale_by_amsgrad semantics otherwise."""
+
+    def init_fn(params):
+        bf = lambda p: jnp.zeros(p.shape, jnp.bfloat16)
+        return _AmsgradBf16State(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(bf, params),
+            nu=jax.tree.map(bf, params),
+            nu_max=jax.tree.map(bf, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - jnp.power(b1, count.astype(jnp.float32))
+        c2 = 1.0 - jnp.power(b2, count.astype(jnp.float32))
+
+        def upd(g, mu, nu, nu_max):
+            g = g.astype(jnp.float32)
+            mu_f = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g
+            nu_f = b2 * nu.astype(jnp.float32) + (1.0 - b2) * g * g
+            nu_max_f = jnp.maximum(nu_max.astype(jnp.float32), nu_f)
+            out = (mu_f / c1) / (jnp.sqrt(nu_max_f / c2 + eps_root) + eps)
+            return (
+                out.astype(g.dtype),
+                mu_f.astype(jnp.bfloat16),
+                nu_f.astype(jnp.bfloat16),
+                nu_max_f.astype(jnp.bfloat16),
+            )
+
+        outs = jax.tree.map(upd, updates, state.mu, state.nu, state.nu_max)
+        is_tup = lambda x: isinstance(x, tuple)
+        pick = lambda i: jax.tree.map(
+            lambda t: t[i], outs, is_leaf=is_tup
+        )
+        return pick(0), _AmsgradBf16State(
+            count=count, mu=pick(1), nu=pick(2), nu_max=pick(3)
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
     """AdamW with amsgrad (reference model/train.py:27:
     ``optim.AdamW(..., lr=LR, amsgrad=True)``; decoupled weight decay is the
-    torch AdamW default 1e-2)."""
+    torch AdamW default 1e-2). ``cfg.opt_state_bf16`` swaps in the
+    bf16-moment variant (same math, half the optimizer HBM traffic)."""
+    scale = (
+        scale_by_amsgrad_bf16()
+        if getattr(cfg, "opt_state_bf16", False)
+        else optax.scale_by_amsgrad()
+    )
     return optax.chain(
-        optax.scale_by_amsgrad(),
+        scale,
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_learning_rate(cfg.lr),
     )
@@ -128,6 +194,8 @@ def learner_update(
     cfg: DQNConfig,
     step_gap: int,
     beta=None,
+    demo_rpl=None,
+    demo_n: int = 0,
 ):
     """One replay-sampled TD update + Polyak target step (jittable).
 
@@ -140,12 +208,27 @@ def learner_update(
     (num_envs): the ring stride between consecutive transitions of the
     same env slot.
 
+    ``demo_rpl``/``demo_n``: demonstration-augmented mode — ``demo_n`` of
+    the ``cfg.batch_size`` samples come from a separate persistent buffer
+    of proven-winning-trajectory transitions (1-step, uniform; see
+    DQNTrainer._demo_rollout_impl). Incompatible with PER (priority
+    updates index the env buffer only).
+
     Returns ``(params, target_params, opt_state, rpl, aux)``.
     """
+    demo_on = demo_rpl is not None and demo_n > 0
+    if demo_on:
+        k_env, k_demo = jax.random.split(key)
+        n_env = cfg.batch_size - demo_n
+    else:
+        # demo off: consume the key exactly as before (stream-compatible
+        # with pre-demo checkpoints/resumes)
+        k_env, k_demo = key, key
+        n_env = cfg.batch_size
     batch, idx0 = replay_lib.replay_sample_ext(
         rpl,
-        key,
-        cfg.batch_size,
+        k_env,
+        n_env,
         gamma=cfg.gamma,
         n_step=cfg.n_step,
         step_gap=step_gap,
@@ -153,6 +236,14 @@ def learner_update(
         alpha=cfg.per_alpha,
         beta=cfg.per_beta if beta is None else beta,
     )
+    if demo_on:
+        demo_batch, _ = replay_lib.replay_sample_ext(
+            demo_rpl, k_demo, demo_n,
+            gamma=cfg.gamma, n_step=1, step_gap=1, prioritized=False,
+        )
+        batch = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), batch, demo_batch
+        )
     (loss, aux), grads = jax.value_and_grad(td_loss, has_aux=True)(
         params, target_params, apply_fn, batch, cfg
     )

@@ -192,6 +192,36 @@ class DQNTrainer:
                 partial(self._chunk_impl), static_argnames=("n_steps",)
             )
 
+        # demonstration-augmented training (round-5): a persistent buffer of
+        # transitions from PROVEN winning trajectories — the solutions the
+        # beam prover already records (gen/jax_forward.py sol_rot/sol_loc)
+        # and the reference's own DFS returns (TetrisSolver.py:140
+        # move_stack) but whose trainer never existed to use them. The
+        # buffer lives OUTSIDE TrainState so checkpoints remain
+        # resume-compatible with and without demos.
+        self._demo = None
+        self._demo_n = 0
+        if cfg.demo_every > 0:
+            if cfg.dqn.prioritized:
+                raise ValueError(
+                    "demo-augmented training is incompatible with PER "
+                    "(priority updates index the env buffer only)"
+                )
+            if cfg.actor_fusion > 0:
+                raise ValueError(
+                    "demo-augmented training requires the XLA chunk "
+                    "(actor_fusion=0)"
+                )
+            if self.backend is not bitboard:
+                raise ValueError(
+                    "demo-augmented training requires the bitboard backend"
+                )
+            self._demo = replay_lib.replay_init(cfg.demo_capacity)
+            self._demo_n = max(
+                1, int(round(cfg.dqn.batch_size * cfg.demo_ratio))
+            )
+            self._demo_rollout = jax.jit(self._demo_rollout_impl)
+
     # -- core jitted chunk ---------------------------------------------------
 
     def _reward(self, res: engine.StepResult) -> jax.Array:
@@ -209,6 +239,7 @@ class DQNTrainer:
         bank_boards: jax.Array,
         bank_pieces: jax.Array,
         n_steps: int,
+        demo=None,
     ) -> tuple[TrainState, ChunkMetrics]:
         dqn = self.cfg.dqn
 
@@ -228,6 +259,8 @@ class DQNTrainer:
                         cfg=dqn,
                         step_gap=self.cfg.num_envs,
                         beta=beta,
+                        demo_rpl=demo,
+                        demo_n=self._demo_n,
                     )
                 )
                 return (params, target_params, opt_state, rpl,
@@ -477,6 +510,93 @@ class DQNTrainer:
         totals = ChunkMetrics(*[m.sum(axis=0) for m in ms])
         return ts, totals
 
+    # -- demonstration buffer ------------------------------------------------
+
+    def _demo_rollout_impl(
+        self,
+        boards_packed: jax.Array,   # uint32[D, 10] — prover candidates
+        pieces: jax.Array,          # int8[D, M+1]
+        sol_rot: jax.Array,         # int8[D, M] — recorded solution
+        sol_loc: jax.Array,         # int8[D, M]
+        sol_len: jax.Array,         # int32[D] — 0 for unproven candidates
+        rpl: replay_lib.ReplayState,
+    ) -> replay_lib.ReplayState:
+        """Replay recorded winning solutions through the env and write the
+        resulting transitions into the demo buffer (full rewrite).
+
+        Every step t < sol_len of a proven candidate is a demonstration
+        transition (the final one carries the +win reward); unproven
+        candidates have sol_len == 0 and contribute nothing. The K buffer
+        slots are filled from the valid transitions (cycled if there are
+        fewer than K — duplicates are harmless under uniform sampling)."""
+        e = self.cfg.env
+        D, M = sol_rot.shape
+        K = rpl.cols.shape[0]
+        env = bitboard.make_state_batch(
+            bitboard.unpack_board(boards_packed), pieces, e.L, e.M
+        )
+
+        def body(env, t):
+            rot = sol_rot[:, t].astype(jnp.int32)
+            col = sol_loc[:, t].astype(jnp.int32)
+            valid = (env.status == engine.RUNNING) & (t < sol_len)
+            res = bitboard.step_batch(env, rot, col)
+            reward = self._reward(res)
+            # freeze finished envs (as in evaluate): their further "steps"
+            # are masked invalid anyway
+            keep = env.status != engine.RUNNING
+            nxt = jax.tree.map(
+                lambda a, b: jnp.where(
+                    keep.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                env, res.state,
+            )
+            out = (env, rot.astype(jnp.int8), col.astype(jnp.int8),
+                   reward, res.state, res.done, valid)
+            return nxt, out
+
+        _, outs = jax.lax.scan(body, env, jnp.arange(M))
+        s_before, rot, col, reward, s_after, done, valid = outs
+        flat = lambda a: a.reshape((M * D,) + a.shape[2:])
+        valid_f = flat(valid)
+        n_valid = valid_f.sum()
+        order = jnp.argsort(~valid_f)          # stable: valid first
+        # even stride over ALL valid transitions — taking the first K would
+        # keep only early timesteps (the flatten is t-major) and never the
+        # winning +reward transitions the demos exist to provide
+        pos = (jnp.arange(K) * jnp.maximum(n_valid, 1)) // K
+        idx = order[jnp.mod(pos, jnp.maximum(n_valid, 1))]
+        take = lambda a: flat(a)[idx]
+        new = replay_lib.replay_add(
+            rpl,
+            jax.tree.map(take, s_before),
+            take(rot), take(col), take(reward),
+            jax.tree.map(take, s_after),
+            take(done),
+        )
+        return jax.lax.cond(
+            n_valid > 0, lambda _: new, lambda _: rpl, None
+        )
+
+    def _refresh_demo(
+        self, key, initial_height_max: int = 4, beam_width: int = 8
+    ) -> None:
+        """Generate+prove a fresh forward-family candidate batch and rebuild
+        the demo buffer from its recorded winning solutions. Forward-family
+        only — that is the family whose reward signal is sparse enough to
+        need demonstrations (round-4: L=10 forward held-out stalled at 56%
+        while carve reached 94%)."""
+        from ..gen.jax_forward import generate_batch_device_jit as fwd_jit
+
+        fb = fwd_jit(
+            key, n=self.cfg.demo_rows, L=self.cfg.env.L, M=self.cfg.env.M,
+            initial_height_max=initial_height_max, beam_width=beam_width,
+        )
+        self._demo = self._demo_rollout(
+            fb.boards, fb.pieces, fb.rotations, fb.locations, fb.n_moves,
+            self._demo,
+        )
+
     def _bank_boards(self) -> jax.Array:
         """Bank boards in the backend's native layout (packed for bitboard)."""
         if self.backend is bitboard:
@@ -581,13 +701,26 @@ class DQNTrainer:
                         beam_width=device_beam_width,
                         initial_height_max=height_now,
                     )
+                if self._demo is not None and chunk_i % cfg.demo_every == 0:
+                    # fresh proven winning trajectories -> demo buffer
+                    # (runs at chunk 0 too, so the buffer is never empty
+                    # when learning starts)
+                    self._refresh_demo(
+                        jax.random.PRNGKey(int(bank_keys.integers(2**31 - 1))),
+                        initial_height_max=height_at(
+                            device_height, done_steps, total
+                        ),
+                        beam_width=device_beam_width,
+                    )
                 chunk_i += 1
                 n = min(chunk, total - done_steps)
                 if self.cfg.actor_fusion > 0:
                     K = self.cfg.actor_fusion
                     n = ((n + K - 1) // K) * K  # kernel phases are K steps
+                demo_kw = {"demo": self._demo} if self._demo is not None else {}
                 self.state, m = self._chunk(
-                    self.state, self._bank_boards(), self.bank.pieces, n_steps=n
+                    self.state, self._bank_boards(), self.bank.pieces,
+                    n_steps=n, **demo_kw
                 )
                 jax.block_until_ready(self.state.params)
                 done_steps += n

@@ -370,8 +370,12 @@ def _beam_prove(
         # (dead beam, top-out garbage) or a recorded win that happened to
         # share a hash and sort earlier would otherwise suppress the only
         # valid copy of a state. Invalid slots get slot-unique sentinel
-        # hashes (0..K*40-1; a real hash landing there is a ~1e-7 event,
-        # no worse than the 32-bit collision risk dedup already carries).
+        # hashes (0..K*40-1), and a slot is a duplicate only when the
+        # PRECEDING equal-hash slot is itself valid — so a real hash that
+        # happens to land in the sentinel range can never be suppressed by
+        # the sentinel it collides with (advisor r4: the previous version
+        # accepted that ~1e-7 false kill; this closes it — the residual
+        # failure mode is a harmless false KEEP of one duplicate).
         score = jnp.where(win_now, _NEG, score).reshape(N, K * 40)
         flat_ok = (valid & ~win_now).reshape(N, K * 40)
         h = succ_hash.reshape(N, K * 40)
@@ -379,8 +383,13 @@ def _beam_prove(
         h = jnp.where(flat_ok, h, slot)
         order = jnp.argsort(h, axis=1)
         hs = jnp.take_along_axis(h, order, axis=1)
+        ok_sorted = jnp.take_along_axis(flat_ok, order, axis=1)
         dup_sorted = jnp.concatenate(
-            [jnp.zeros((N, 1), bool), hs[:, 1:] == hs[:, :-1]], axis=1
+            [
+                jnp.zeros((N, 1), bool),
+                (hs[:, 1:] == hs[:, :-1]) & ok_sorted[:, :-1],
+            ],
+            axis=1,
         )
         inv = jnp.argsort(order, axis=1)
         dup = jnp.take_along_axis(dup_sorted, inv, axis=1)

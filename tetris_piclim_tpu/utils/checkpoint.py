@@ -56,6 +56,47 @@ def restore_params(path: str) -> tuple:
     return to_dev(raw["params"]), to_dev(raw["target_params"])
 
 
+def save_bank(path: str, bank) -> str:
+    """Serialize the LIVE rows of a :class:`gen.bank.ConfigBank` next to a
+    TrainState checkpoint (``<path>/bank.npz``).
+
+    A ``--device-refresh`` training run churns its bank every K chunks, so
+    the distribution the policy actually trained on is the FINAL bank rows —
+    not the initial fill an eval-side rebuild would produce. Reading
+    ``_host_boards`` re-materializes the host mirror from the device if the
+    all-device refresh fast path left it stale."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, "bank.npz")
+    np.savez_compressed(
+        out,
+        boards=np.asarray(bank._host_boards),
+        pieces=np.asarray(bank._host_pieces),
+        family=np.asarray(bank._family),
+        meta=np.asarray([bank.L, bank.M, bank.capacity], dtype=np.int64),
+    )
+    return out
+
+
+def restore_bank(path: str, device=None):
+    """Rebuild a ConfigBank from :func:`save_bank` output. ``path`` may be
+    the checkpoint directory or the ``bank.npz`` file itself."""
+    from ..gen.bank import ConfigBank
+
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+        path = os.path.join(path, "bank.npz")
+    data = np.load(path)
+    L, M, capacity = (int(x) for x in data["meta"])
+    bank = ConfigBank(L, M, capacity=capacity, device=device)
+    bank._host_boards = data["boards"].astype(bool)
+    bank._host_pieces = data["pieces"].astype(np.int8)
+    bank._family[:] = data["family"]
+    bank._fill_count = capacity
+    bank._upload()
+    return bank
+
+
 def restore_train_state(path: str, template):
     """Restore a TrainState saved by :func:`save_train_state`; ``template``
     provides the pytree structure/dtypes (an untrained TrainState)."""

@@ -50,6 +50,10 @@ class DQNConfig:
     weight_decay: float = 1e-2  # torch AdamW default
     double_dqn: bool = True     # reduces overestimation; off → vanilla DQN
     huber_delta: float = 1.0
+    # store AdamW moment state (m, v, v_max) in bfloat16: the round-4 device
+    # trace shows the learner memory-bound on optimizer-state HBM traffic
+    # (~58MB/update); bf16 moments halve that with no model change
+    opt_state_bf16: bool = False
     # extensions beyond the reference's declared algorithm (each default-off
     # so the reference-spec hyperparameters above stand alone):
     n_step: int = 1             # n-step returns (1 = the reference's 1-step TD)
@@ -85,6 +89,16 @@ class TrainConfig:
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0   # 0 = disabled
+    # demonstration-augmented training (round-5): every demo_every chunks,
+    # refresh a persistent demo replay buffer with transitions from PROVEN
+    # winning trajectories (the beam prover's recorded solutions,
+    # gen/jax_forward.py sol_rot/sol_loc) and draw demo_ratio of every
+    # learner batch from it. 0 = off. The buffer lives OUTSIDE TrainState,
+    # so checkpoints stay resume-compatible either way.
+    demo_every: int = 0
+    demo_ratio: float = 0.25
+    demo_rows: int = 1024       # prover candidates per refresh
+    demo_capacity: int = 8192   # demo buffer transitions (full rewrite/refresh)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
