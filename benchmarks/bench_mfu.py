@@ -160,10 +160,34 @@ def measure(num_envs: int = 2048, scan: int = 512, updates: int = 4,
     t_learn, _ = _timed(run_learner)
 
     # -- actor timing ----------------------------------------------------------
-    t_fwd, _ = _timed(fwd, tr.state.params, obs)
+    # A single eager dispatch over the remote tunnel measures ~ms of DISPATCH
+    # latency, not device compute (the r4 artifact's actor_mfu=0.0036 read
+    # wrong in isolation — VERDICT r4 #5). Time a SCANNED actor program in
+    # ONE dispatch and divide by the trip count: per-call device time with
+    # the dispatch amortized. The per-iteration obs perturbation stops XLA
+    # hoisting the loop-invariant forward out of the scan.
+    def fwd_many(params, obs):
+        def body(acc, i):
+            o = obs * (1.0 + 1e-6 * i.astype(jnp.float32))
+            q = tr.apply_fn(params, o)
+            return acc + q.sum(), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(SCAN, dtype=jnp.int32)
+        )
+        return acc
+
+    fwd_scanned = jax.jit(fwd_many).lower(tr.state.params, obs).compile()
+    t_fwd_total, _ = _timed(fwd_scanned, tr.state.params, obs)
+    t_fwd = t_fwd_total / SCAN
 
     # -- compose ---------------------------------------------------------------
     out["actor_forward_us"] = round(t_fwd * 1e6, 1)
+    out["actor_timing"] = (
+        f"scanned x{SCAN} in one dispatch / {SCAN} — device time, "
+        "dispatch amortized (a single eager dispatch over the remote "
+        "tunnel measures ~ms of RPC latency instead)"
+    )
     out["actor_gflops_per_call"] = (
         None if f_act is None else round(f_act / 1e9, 4)
     )
