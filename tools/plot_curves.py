@@ -216,6 +216,79 @@ def main_r4(out="results/curves_r4.png"):
     print(f"wrote {out}")
 
 
+def main_r5(out="results/curves_r5.png"):
+    """Round-5 figure. Left: the L=10/M=30 capacity + demonstration tests —
+    the narrow budget ladder (r3/r4, gray, flattening at ~2M steps), the
+    matched wide-torso ladder (--channels 64,128), and the demo-augmented
+    resume of the narrow 2.3M checkpoint. Right: the matched-500k
+    adapt-rule-v2 arms (one recipe, four tasks)."""
+    SLOT = {"L2": "#2a78d6", "L3": "#eb6834", "L5": "#3d9970",
+            "L10": "#eda100"}
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(13, 5))
+
+    def ladder_xy(stages):
+        xs, ys = [], []
+        for path, off in stages:
+            try:
+                steps, wr = parse(path)
+            except FileNotFoundError:
+                continue
+            if steps:
+                xs.extend(s + off for s in steps)
+                ys.extend(wr)
+        return xs, ys
+
+    narrow = ladder_xy([
+        ("results/train_r3_L10M30df.log", 0.0),
+        ("results/train_r3_L10cont.log", 1.024e9),
+        ("results/train_r4_L10cont.log", 1.638e9),
+        ("results/train_r4_L10cont2.log", 2.662e9),
+        ("results/train_r4_L10cont3.log", 3.686e9),
+    ])
+    wide = ladder_xy([
+        ("results/train_r5_L10wide.log", 0.0),
+        ("results/train_r5_L10wide2.log", 1.024e9),
+        ("results/train_r5_L10wide3.log", 2.048e9),
+        ("results/train_r5_L10wide4.log", 3.072e9),
+    ])
+    demo = ladder_xy([("results/train_r5_L10demo.log", 4.710e9)])
+    if narrow[0]:
+        ax1.plot([x / 1e9 for x in narrow[0]], narrow[1],
+                 color="#999999", lw=1.2, label="narrow 32,64 (r3/r4 ladder)")
+    if wide[0]:
+        ax1.plot([x / 1e9 for x in wide[0]], wide[1],
+                 color=SLOT["L10"], lw=1.5, label="wide 64,128 (matched)")
+    if demo[0]:
+        ax1.plot([x / 1e9 for x in demo[0]], demo[1],
+                 color="#9b59b6", lw=1.5, label="demo resume of narrow 2.3M")
+    ax1.set_xlabel("cumulative environment steps (billions)")
+    ax1.set_ylabel("training win rate (infinite device distribution)")
+    ax1.set_title("L=10/M=30: capacity + demonstrations vs the budget wall")
+    ax1.legend(loc="lower right", fontsize=8)
+    ax1.grid(alpha=0.3)
+
+    arms = [
+        ("results/train_r5_L2adv2.log", "L=2 v2", SLOT["L2"]),
+        ("results/train_r5_L3adv2.log", "L=3 v2", SLOT["L3"]),
+        ("results/train_r4_L5adv2.log", "L=5 v2 (r4)", SLOT["L5"]),
+        ("results/train_r5_L10adv2.log", "L=10 v2", SLOT["L10"]),
+    ]
+    for path, label, color in arms:
+        try:
+            steps, wr = parse(path)
+        except FileNotFoundError:
+            continue
+        if steps:
+            ax2.plot([s / 1e9 for s in steps], wr, label=label, color=color)
+    ax2.set_xlabel("environment steps (billions)")
+    ax2.set_title("adapt-rule v2: one recipe, matched 500k, four tasks")
+    ax2.legend(loc="lower right", fontsize=8)
+    ax2.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "r2":
         main_r2(*sys.argv[2:])
@@ -223,5 +296,7 @@ if __name__ == "__main__":
         main_r3(*sys.argv[2:])
     elif len(sys.argv) > 1 and sys.argv[1] == "r4":
         main_r4(*sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "r5":
+        main_r5(*sys.argv[2:])
     else:
         main(*sys.argv[1:])
