@@ -30,6 +30,32 @@ class TestBankCheckpoint:
         b2 = restore_bank(out)
         assert b2.row_keys() == bank.row_keys()
 
+    def test_train_then_eval_restore_bank_cli(self, tmp_path):
+        """End-to-end: cli train saves bank.npz with the final checkpoint;
+        cli eval --restore-bank evaluates against those exact rows."""
+        from tetris_piclim_tpu.cli import main
+
+        ck = str(tmp_path / "ck")
+        assert main(["train", "--smoke", "--checkpoint", ck]) == 0
+        import os
+
+        assert os.path.exists(os.path.join(ck, "bank.npz"))
+        assert main([
+            "eval", "-L", "1", "-M", "8", "--episodes", "64",
+            "--restore-bank", ck, "--checkpoint", ck,
+        ]) == 0
+
+    def test_restore_bank_task_mismatch_rejected(self, tmp_path):
+        from tetris_piclim_tpu.cli import main
+
+        bank = ConfigBank(1, 8, capacity=8, seed=9).fill(carve_fraction=1.0)
+        save_bank(str(tmp_path / "ck"), bank)
+        rc = main([
+            "eval", "-L", "2", "-M", "20", "--episodes", "8",
+            "--restore-bank", str(tmp_path / "ck"),
+        ])
+        assert rc == 2
+
     def test_saves_live_rows_after_device_refresh(self):
         """After an all-device refresh the host mirror is stale; save_bank
         must serialize the LIVE device rows, not the stale mirror."""
