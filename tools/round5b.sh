@@ -2,16 +2,21 @@
 # Round-5 TPU queue B (runs after round5a) — verdict items:
 #  D1: #1b demonstration-augmented resume of the 2.3M-step L=10 flagship —
 #      the budget ladder flattened at +1.2 pts/500k; if proven winning
-#      trajectories (the beam prover's recorded solutions) break the
-#      flatten, forward-family holdout should move well beyond that.
+#      trajectories (the beam prover's recorded solutions) carry signal the
+#      budget alone cannot, forward-family holdout should move well beyond
+#      that trend line.
+#  G1: #8 height-curriculum isolation: narrow L=10 scratch 500k with the
+#      8:4 anneal. Completes a 2x2 with r3's narrow/h4 scratch (53.5%) and
+#      round-5a's wide/h8:4 scratch: isolates BOTH the curriculum's
+#      standalone value and the capacity effect at matched height.
 #  C1: #6 the double-DQN ablation (only shipped algorithmic default with
 #      no attached evidence) at the matched L=5 stage-C cell.
-#  E1: #3a bf16 AdamW moment state at the matched L=5 cell — the
-#      no-tradeoff lever the round-4 trace indicts (58MB/update).
-#  F1: #3b LR-retuned batch-512 (sqrt rule: 1e-4 * sqrt(4) = 2e-4),
-#      updates 1 => same samples/step as batch-128 x 4.
-#  G1: #8 height-curriculum isolation: narrow L=10 scratch 500k with the
-#      8:4 anneal vs the r3 fixed-4 scratch (53.5% holdout, same seed).
+#  E2: #3 the combined no-tradeoff learner-HBM attack: bf16 AdamW moments
+#      + LR-retuned batch-512 (sqrt rule 2e-4) at updates 1 (same
+#      samples/step as batch-128 x 4, quarter the dispatches). Targets
+#      flagship >=2.5M env-steps/s at matched L=5 holdout (93.3 +- 1).
+#  F1: #3b the isolated LR-retuned batch-512 arm (f32 moments) — the
+#      decomposition row; deadline-guarded, wrap-up has priority.
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
@@ -39,6 +44,15 @@ timeout 5400 python -m tetris_piclim_tpu.cli train -L 10 -M 30 \
   > results/train_r5_L10demo.log 2>&1
 echo "rc=$? stageD1"; run_tag L10demo
 
+echo "=== stage G1: L10 narrow scratch 500k, height 8:4 (isolation 2x2) ==="
+timeout 4500 python -m tetris_piclim_tpu.cli train -L 10 -M 30 \
+  $FLAGS --device-forward 0.25 --device-height 8:4 \
+  --steps 500000 $EVAL \
+  --checkpoint results/ckpt_r5_L10h84 --checkpoint-every 100000 \
+  --log-file results/train_r5_L10h84.jsonl \
+  > results/train_r5_L10h84.log 2>&1
+echo "rc=$? stageG1"; run_tag L10h84
+
 echo "=== stage C1: L5 no-double-DQN at the stage-C recipe (500k) ==="
 timeout 4200 python -m tetris_piclim_tpu.cli train -L 5 -M 25 \
   $FLAGS --device-forward 0.25 --no-double \
@@ -48,16 +62,22 @@ timeout 4200 python -m tetris_piclim_tpu.cli train -L 5 -M 25 \
   > results/train_r5_L5nodouble.log 2>&1
 echo "rc=$? stageC1"; run_tag L5nodouble
 
-echo "=== stage E1: L5 bf16 AdamW state at the stage-C recipe (500k) ==="
+echo "=== stage E2: L5 bf16-moments + batch-512 lr 2e-4, updates 1 (500k) ==="
 timeout 4200 python -m tetris_piclim_tpu.cli train -L 5 -M 25 \
-  $FLAGS --device-forward 0.25 --opt-bf16 \
+  --model conv --dueling --joint --updates 1 --batch 512 --lr 2e-4 \
+  --opt-bf16 --num-envs 2048 --bank 4096 --device-bank --device-refresh 1 \
+  --device-forward 0.25 \
   --steps 500000 $EVAL \
-  --checkpoint results/ckpt_r5_L5optbf16 --checkpoint-every 100000 \
-  --log-file results/train_r5_L5optbf16.jsonl \
-  > results/train_r5_L5optbf16.log 2>&1
-echo "rc=$? stageE1"; run_tag L5optbf16
+  --checkpoint results/ckpt_r5_L5fast --checkpoint-every 100000 \
+  --log-file results/train_r5_L5fast.jsonl \
+  > results/train_r5_L5fast.log 2>&1
+echo "rc=$? stageE2"; run_tag L5fast
 
-echo "=== stage F1: L5 batch-512 LR-retuned (sqrt rule 2e-4), updates 1 ==="
+if [ "$(date -u +%s)" -gt "$(date -u -d 'today 02:10' +%s 2>/dev/null || echo 0)" ] \
+   && [ "$(date -u +%H)" -lt 12 ]; then
+  echo "SKIP stage F1: past deadline"
+else
+echo "=== stage F1: L5 batch-512 lr 2e-4, f32 moments (decomposition row) ==="
 timeout 4200 python -m tetris_piclim_tpu.cli train -L 5 -M 25 \
   --model conv --dueling --joint --updates 1 --batch 512 --lr 2e-4 \
   --num-envs 2048 --bank 4096 --device-bank --device-refresh 1 \
@@ -67,14 +87,6 @@ timeout 4200 python -m tetris_piclim_tpu.cli train -L 5 -M 25 \
   --log-file results/train_r5_L5b512lr.jsonl \
   > results/train_r5_L5b512lr.log 2>&1
 echo "rc=$? stageF1"; run_tag L5b512lr
-
-echo "=== stage G1: L10 narrow scratch 500k, height 8:4 (curriculum isolation) ==="
-timeout 4500 python -m tetris_piclim_tpu.cli train -L 10 -M 30 \
-  $FLAGS --device-forward 0.25 --device-height 8:4 \
-  --steps 500000 $EVAL \
-  --checkpoint results/ckpt_r5_L10h84 --checkpoint-every 100000 \
-  --log-file results/train_r5_L10h84.jsonl \
-  > results/train_r5_L10h84.log 2>&1
-echo "rc=$? stageG1"; run_tag L10h84
+fi
 
 echo "ROUND5B DONE"
