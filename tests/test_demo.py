@@ -77,6 +77,107 @@ class TestDemoBuffer:
         assert tr._demo_n == 0
 
 
+class TestDemoMargin:
+    """DQfD large-margin term (Hester et al. 2018 eq. 2) on demo samples."""
+
+    def test_margin_max_matches_bruteforce_both_heads(self):
+        from tetris_piclim_tpu.models.qnet import (
+            ACTION_DIM, JOINT_DIM, NUM_COL, NUM_ROT, q_ops,
+        )
+
+        rng = np.random.default_rng(0)
+        rot = jnp.array(rng.integers(0, NUM_ROT, 16), jnp.int32)
+        col = jnp.array(rng.integers(0, NUM_COL, 16), jnp.int32)
+        margin = 0.8
+        for width in (ACTION_DIM, JOINT_DIM):
+            q = jnp.array(rng.normal(size=(16, width)), jnp.float32)
+            ops = q_ops(width)
+            got = np.asarray(ops.margin_max(q, rot, col, margin))
+            # brute force over the 40 joint actions
+            want = np.empty(16, np.float32)
+            qn = np.asarray(q)
+            for i in range(16):
+                best = -np.inf
+                for r in range(NUM_ROT):
+                    for c in range(NUM_COL):
+                        if width == ACTION_DIM:
+                            v = qn[i, r] + qn[i, NUM_ROT + c]
+                        else:
+                            v = qn[i, r * NUM_COL + c]
+                        if not (r == int(rot[i]) and c == int(col[i])):
+                            v += margin
+                        best = max(best, v)
+                want[i] = best
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_margin_loss_zero_when_expert_dominates(self):
+        """J_E = mean(margin_max - gather) is 0 exactly when the expert
+        action's Q beats every alternative by >= the margin."""
+        from tetris_piclim_tpu.models.qnet import JOINT_DIM, NUM_COL, q_ops
+
+        q = jnp.full((4, JOINT_DIM), -1.0)
+        rot = jnp.array([0, 1, 2, 3], jnp.int32)
+        col = jnp.array([0, 3, 5, 9], jnp.int32)
+        a = rot * NUM_COL + col
+        q = q.at[jnp.arange(4), a].set(1.0)  # expert leads by 2.0 > margin
+        ops = q_ops(JOINT_DIM)
+        j_e = jnp.mean(ops.margin_max(q, rot, col, 0.8) - ops.gather(q, rot, col))
+        assert float(j_e) == 0.0
+        # and positive when the expert does NOT lead by the margin
+        j_e2 = jnp.mean(ops.margin_max(q, rot, col, 3.0) - ops.gather(q, rot, col))
+        assert float(j_e2) > 0.0
+
+    def test_train_runs_with_margin_and_logs_finite_loss(self):
+        tr = DQNTrainer(_cfg(demo_margin=0.8))
+        out = tr.train(total_steps=120, log_fn=None)
+        assert len(out["history"]) >= 1
+        assert int(tr.state.updates_done) > 0
+        assert np.isfinite(float(out["history"][-1]["loss"]))
+
+    def test_margin_pushes_expert_action_up(self):
+        """Margin-dominated learner updates on a fixed demo buffer must
+        drive the supervised term J_E down (the expert action's Q rises
+        relative to the augmented max)."""
+        from tetris_piclim_tpu.dqn import agent as agent_lib
+        from tetris_piclim_tpu.models.qnet import q_ops
+
+        from tetris_piclim_tpu.dqn import replay as replay_lib
+
+        tr = DQNTrainer(_cfg(demo_margin=0.8))
+        tr._refresh_demo(jax.random.PRNGKey(2))
+        d = tr._demo
+        # a fixed probe batch (the replay stores packed state; obs is
+        # reconstructed at sample time)
+        probe, _ = replay_lib.replay_sample_ext(
+            d, jax.random.PRNGKey(123), 256,
+            gamma=tr.cfg.dqn.gamma, n_step=1, step_gap=1, prioritized=False,
+        )
+
+        def j_e(params):
+            q = tr.apply_fn(params, probe.obs)
+            ops = q_ops(q.shape[-1])
+            return float(jnp.mean(
+                ops.margin_max(q, probe.rot, probe.col, 0.8)
+                - ops.gather(q, probe.rot, probe.col)
+            ))
+
+        params = tr.state.params
+        target = tr.state.target_params
+        opt_state = tr.state.opt_state
+        j0 = j_e(params)
+        # the demo buffer doubles as the env replay (it is a plain replay
+        # struct); weight 100 makes the margin term dominate the TD term
+        for i in range(30):
+            params, target, opt_state, _, aux = agent_lib.learner_update(
+                params, target, opt_state, d, jax.random.PRNGKey(i),
+                apply_fn=tr.apply_fn, optimizer=tr.optimizer, cfg=tr.cfg.dqn,
+                step_gap=1, demo_rpl=d, demo_n=16,
+                demo_margin=0.8, demo_margin_weight=100.0,
+            )
+        assert "demo_margin_loss" in aux
+        assert j_e(params) < j0
+
+
 class TestAmsgradBf16:
     def test_bf16_state_matches_f32_direction(self):
         """The bf16-moment AMSGrad produces (nearly) the same update as the

@@ -94,6 +94,8 @@ def cmd_train(args) -> int:
             demo_every=args.demo_every,
             demo_ratio=args.demo_ratio,
             demo_rows=args.demo_rows,
+            demo_margin=args.demo_margin,
+            demo_margin_weight=args.demo_margin_weight,
         )
     if args.config:
         import dataclasses
@@ -537,6 +539,13 @@ def main(argv=None) -> int:
                         "buffer when --demo-every > 0")
     p.add_argument("--demo-rows", type=int, default=1024,
                    help="forward-prover candidate rows per demo refresh")
+    p.add_argument("--demo-margin", type=float, default=0.0,
+                   help="DQfD large-margin coefficient on demo samples "
+                        "(Hester et al. 2018 eq. 2): push the proven "
+                        "action's Q above every alternative by this margin "
+                        "(0 = TD-only demos)")
+    p.add_argument("--demo-margin-weight", type=float, default=1.0,
+                   help="weight of the margin term in the total loss")
     p.add_argument("--batch", type=int, default=128,
                    help="learner batch size (reference-declared default 128; "
                         "batch*updates is the sample throughput — one "

@@ -196,6 +196,8 @@ def learner_update(
     beta=None,
     demo_rpl=None,
     demo_n: int = 0,
+    demo_margin: float = 0.0,
+    demo_margin_weight: float = 1.0,
 ):
     """One replay-sampled TD update + Polyak target step (jittable).
 
@@ -213,6 +215,13 @@ def learner_update(
     of proven-winning-trajectory transitions (1-step, uniform; see
     DQNTrainer._demo_rollout_impl). Incompatible with PER (priority
     updates index the env buffer only).
+
+    ``demo_margin`` > 0 adds the DQfD large-margin supervised term on the
+    demo samples (Hester et al. 2018, eq. 2):
+    ``J_E = mean( max_a [Q(s,a) + margin * [a != a_E]] - Q(s, a_E) )``,
+    scaled by ``demo_margin_weight`` — pushes the expert (proven-winning)
+    action's Q above every alternative by at least the margin, giving the
+    demonstrations a gradient even where the TD signal is silent.
 
     Returns ``(params, target_params, opt_state, rpl, aux)``.
     """
@@ -244,9 +253,24 @@ def learner_update(
         batch = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), batch, demo_batch
         )
-    (loss, aux), grads = jax.value_and_grad(td_loss, has_aux=True)(
-        params, target_params, apply_fn, batch, cfg
-    )
+    if demo_on and demo_margin > 0.0:
+
+        def loss_fn(p):
+            loss, aux = td_loss(p, target_params, apply_fn, batch, cfg)
+            q_d = apply_fn(p, demo_batch.obs)
+            ops = q_ops(q_d.shape[-1])
+            j_e = jnp.mean(
+                ops.margin_max(q_d, demo_batch.rot, demo_batch.col, demo_margin)
+                - ops.gather(q_d, demo_batch.rot, demo_batch.col)
+            )
+            aux = dict(aux, demo_margin_loss=j_e)
+            return loss + demo_margin_weight * j_e, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    else:
+        (loss, aux), grads = jax.value_and_grad(td_loss, has_aux=True)(
+            params, target_params, apply_fn, batch, cfg
+        )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = jax.tree.map(lambda p, u: p + u, params, updates)
     target_params = polyak(target_params, params, cfg.tau)

@@ -261,6 +261,8 @@ class DQNTrainer:
                         beta=beta,
                         demo_rpl=demo,
                         demo_n=self._demo_n,
+                        demo_margin=self.cfg.demo_margin,
+                        demo_margin_weight=self.cfg.demo_margin_weight,
                     )
                 )
                 return (params, target_params, opt_state, rpl,

@@ -110,6 +110,22 @@ class FactoredQ:
             + jnp.take_along_axis(q_col, col[..., None], axis=-1)[..., 0]
         )
 
+    @staticmethod
+    def margin_max(
+        q: jax.Array, rot: jax.Array, col: jax.Array, margin: float
+    ) -> jax.Array:
+        """max over all 40 joint actions of ``Q(a) + margin * [a != a_E]``
+        — the inner max of the DQfD large-margin term (Hester et al. 2018,
+        eq. 2) with the additive Q expanded to the 4x10 joint grid."""
+        q_rot, q_col = FactoredQ.split(q)
+        joint = q_rot[..., :, None] + q_col[..., None, :]
+        is_e = (
+            jax.nn.one_hot(rot, NUM_ROT, dtype=q.dtype)[..., :, None]
+            * jax.nn.one_hot(col, NUM_COL, dtype=q.dtype)[..., None, :]
+        )
+        aug = joint + margin * (1.0 - is_e)
+        return jnp.max(aug, axis=(-2, -1))
+
 
 class JointQ:
     """Helpers for the 40-way joint Q over (rotation, column), row-major
@@ -130,6 +146,16 @@ class JointQ:
     def gather(q: jax.Array, rot: jax.Array, col: jax.Array) -> jax.Array:
         a = rot * NUM_COL + col
         return jnp.take_along_axis(q, a[..., None], axis=-1)[..., 0]
+
+    @staticmethod
+    def margin_max(
+        q: jax.Array, rot: jax.Array, col: jax.Array, margin: float
+    ) -> jax.Array:
+        """max over all 40 actions of ``Q(a) + margin * [a != a_E]`` (the
+        inner max of the DQfD large-margin term, Hester et al. 2018 eq. 2)."""
+        a = rot * NUM_COL + col
+        is_e = jax.nn.one_hot(a, JOINT_DIM, dtype=q.dtype)
+        return jnp.max(q + margin * (1.0 - is_e), axis=-1)
 
 
 def q_ops(q_dim: int):

@@ -99,6 +99,8 @@ class TrainConfig:
     demo_ratio: float = 0.25
     demo_rows: int = 1024       # prover candidates per refresh
     demo_capacity: int = 8192   # demo buffer transitions (full rewrite/refresh)
+    demo_margin: float = 0.0    # DQfD large-margin coefficient (0 = TD only)
+    demo_margin_weight: float = 1.0  # weight of the margin term in the loss
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
