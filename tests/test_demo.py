@@ -57,6 +57,23 @@ class TestDemoBuffer:
         rewards = np.asarray(tr._demo.reward)
         assert rewards.min() > tr.cfg.env.loss_reward
 
+    def test_demo_targets_are_mc_returns_not_bootstraps(self):
+        """Demo rows carry Monte-Carlo returns-to-go with done=True — the
+        learner must never bootstrap off expert states (TD-bootstrapped
+        demos diverged: results/train_r5_L10demo.log, loss 0.08 -> 1e4)."""
+        tr = DQNTrainer(_cfg())
+        tr._refresh_demo(jax.random.PRNGKey(3))
+        d = tr._demo
+        n = int(d.size)
+        assert np.asarray(d.done)[:n].all()
+        r = np.asarray(d.reward)[:n]
+        # every trajectory is proven to WIN: the discounted return-to-go is
+        # strictly positive everywhere and at least gamma^M * win_reward
+        gamma, M = tr.cfg.dqn.gamma, tr.cfg.env.M
+        assert r.min() >= (gamma ** M) * tr.cfg.env.win_reward - 1e-6
+        # and bounded by the best possible undiscounted return
+        assert r.max() <= tr.cfg.env.win_reward + M * 4.0 * tr.cfg.env.reward_per_line
+
     def test_train_runs_with_demo_sampling(self):
         tr = DQNTrainer(_cfg())
         out = tr.train(total_steps=120, log_fn=None)

@@ -527,10 +527,22 @@ class DQNTrainer:
         resulting transitions into the demo buffer (full rewrite).
 
         Every step t < sol_len of a proven candidate is a demonstration
-        transition (the final one carries the +win reward); unproven
-        candidates have sol_len == 0 and contribute nothing. The K buffer
-        slots are filled from the valid transitions (cycled if there are
-        fewer than K — duplicates are harmless under uniform sampling)."""
+        transition; unproven candidates have sol_len == 0 and contribute
+        nothing. The K buffer slots are filled from the valid transitions
+        (cycled if there are fewer than K — duplicates are harmless under
+        uniform sampling).
+
+        Demo targets are **Monte-Carlo returns-to-go, not TD bootstraps**:
+        each stored transition carries ``reward = R_t = sum_k gamma^k
+        r_{t+k}`` with ``done = True``, so the learner regresses
+        ``Q(s_t, a_t) -> R_t`` directly. The trajectory is proven to end in
+        WIN, so the full return is known — there is nothing to bootstrap.
+        Bootstrapped demo targets were tried first and diverged
+        catastrophically (results/train_r5_L10demo.log: loss 0.08 -> 1e4,
+        win rate pinned at 0): 25% of every batch bootstrapping Q(s') on
+        expert states the behavior policy never visits is the deadly triad
+        in its purest form. R_t is also a lower bound on Q*(s_t, a_t)
+        (deterministic env), so the regression is conservative."""
         e = self.cfg.env
         D, M = sol_rot.shape
         K = rpl.cols.shape[0]
@@ -559,6 +571,25 @@ class DQNTrainer:
 
         _, outs = jax.lax.scan(body, env, jnp.arange(M))
         s_before, rot, col, reward, s_after, done, valid = outs
+        # reverse-scan the per-step rewards into returns-to-go; valid is a
+        # per-column prefix (episodes start at t=0), so valid[t+1] gates
+        # whether t+1 continues the same proven trajectory
+        gamma = self.cfg.dqn.gamma
+        v_next = jnp.concatenate(
+            [valid[1:], jnp.zeros_like(valid[:1])], axis=0
+        )
+
+        def body_rev(r_next, xs):
+            r_t, cont = xs
+            r_t = r_t + gamma * r_next * cont.astype(jnp.float32)
+            return r_t, r_t
+
+        _, returns = jax.lax.scan(
+            body_rev, jnp.zeros((D,), jnp.float32), (reward, v_next),
+            reverse=True,
+        )
+        reward = returns
+        done = jnp.ones_like(done)  # MC target: no bootstrap on demo rows
         flat = lambda a: a.reshape((M * D,) + a.shape[2:])
         valid_f = flat(valid)
         n_valid = valid_f.sum()
