@@ -217,11 +217,13 @@ def main_r4(out="results/curves_r4.png"):
 
 
 def main_r5(out="results/curves_r5.png"):
-    """Round-5 figure. Left: the L=10/M=30 capacity + demonstration tests —
-    the narrow budget ladder (r3/r4, gray, flattening at ~2M steps), the
-    matched wide-torso ladder (--channels 64,128), and the demo-augmented
-    resume of the narrow 2.3M checkpoint. Right: the matched-500k
-    adapt-rule-v2 arms (one recipe, four tasks)."""
+    """Round-5 figure. Left: the L=10/M=30 matched-500k scratch cells —
+    the narrow budget ladder (r3/r4, gray, for context), the wide torso
+    (--channels 64,128, h8:4), the narrow h8:4 isolation cell, and the two
+    demo-augmented arms (TD-bootstrapped = diverged; MC-return + margin).
+    The planned wide/demo RESUME arms died with the mid-round checkpoint
+    wipe (docs/ROUND5_NOTES.md). Right: the matched-500k adapt-rule-v2
+    arms (one recipe, four tasks)."""
     SLOT = {"L2": "#2a78d6", "L3": "#eb6834", "L5": "#3d9970",
             "L10": "#eda100"}
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(13, 5))
@@ -245,25 +247,26 @@ def main_r5(out="results/curves_r5.png"):
         ("results/train_r4_L10cont2.log", 2.662e9),
         ("results/train_r4_L10cont3.log", 3.686e9),
     ])
-    wide = ladder_xy([
-        ("results/train_r5_L10wide.log", 0.0),
-        ("results/train_r5_L10wide2.log", 1.024e9),
-        ("results/train_r5_L10wide3.log", 2.048e9),
-        ("results/train_r5_L10wide4.log", 3.072e9),
-    ])
-    demo = ladder_xy([("results/train_r5_L10demo.log", 4.710e9)])
     if narrow[0]:
         ax1.plot([x / 1e9 for x in narrow[0]], narrow[1],
-                 color="#999999", lw=1.2, label="narrow 32,64 (r3/r4 ladder)")
-    if wide[0]:
-        ax1.plot([x / 1e9 for x in wide[0]], wide[1],
-                 color=SLOT["L10"], lw=1.5, label="wide 64,128 (matched)")
-    if demo[0]:
-        ax1.plot([x / 1e9 for x in demo[0]], demo[1],
-                 color="#9b59b6", lw=1.5, label="demo resume of narrow 2.3M")
+                 color="#bbbbbb", lw=1.0, label="narrow ladder (r3/r4, context)")
+    scratch_arms = [
+        ("results/train_r5_L10wide.log", "wide 64,128 h8:4", SLOT["L10"], "-"),
+        ("results/train_r5_L10h84.log", "narrow h8:4 (G1)", "#3d9970", "-"),
+        ("results/train_r5_L10demo.log", "TD-demo (diverged)", "#d64545", "--"),
+        ("results/train_r5_L10demo2.log", "MC-demo + margin", "#9b59b6", "-"),
+    ]
+    for path, label, color, ls in scratch_arms:
+        try:
+            steps, wr = parse(path)
+        except FileNotFoundError:
+            continue
+        if steps:
+            ax1.plot([s / 1e9 for s in steps], wr, color=color, lw=1.5,
+                     ls=ls, label=label)
     ax1.set_xlabel("cumulative environment steps (billions)")
     ax1.set_ylabel("training win rate (infinite device distribution)")
-    ax1.set_title("L=10/M=30: capacity + demonstrations vs the budget wall")
+    ax1.set_title("L=10/M=30 matched-500k scratch: capacity, curriculum, demos")
     ax1.legend(loc="lower right", fontsize=8)
     ax1.grid(alpha=0.3)
 
