@@ -595,10 +595,12 @@ def main(argv=None) -> int:
         help="chunks between adaptive-share probe evaluations",
     )
     p.add_argument(
-        "--adapt-rule", choices=["v1", "v2"], default="v1",
-        help="v1 = failure-rate-proportional; v2 = 0.25-prior-anchored, "
-             "raises the share only while the forward probe is < half the "
-             "carve probe (round-4 finding)",
+        "--adapt-rule", choices=["v1", "v2"], default="v2",
+        help="v1 = failure-rate-proportional; v2 (default) = 0.25-prior-"
+             "anchored, raises the share only while the forward probe is "
+             "< half the carve probe. v2 matched or beat v1 on all four "
+             "tasks at matched 500k budget (round-5: +0.8/-1.1/-1.1/-2.4 "
+             "vs hand-tuned; v1: +0.3/-2.9/-4.0/-2.4)",
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument(

@@ -650,7 +650,7 @@ class DQNTrainer:
         adaptive_share: bool = False,
         adapt_every: int = 20,
         adapt_episodes: int = 1024,
-        adapt_rule: str = "v1",
+        adapt_rule: str = "v2",
     ) -> dict:
         """``device_refresh_every=k`` regenerates the carve-family bank rows
         ON DEVICE every k chunks (fresh PRNG key each time) — the training
