@@ -254,7 +254,8 @@ def main_r5(out="results/curves_r5.png"):
         ("results/train_r5_L10wide.log", "wide 64,128 h8:4", SLOT["L10"], "-"),
         ("results/train_r5_L10h84.log", "narrow h8:4 (G1)", "#3d9970", "-"),
         ("results/train_r5_L10demo.log", "TD-demo (diverged)", "#d64545", "--"),
-        ("results/train_r5_L10demo2.log", "MC-demo + margin", "#9b59b6", "-"),
+        ("results/train_r5_L10demo2.log", "MC-demo + margin h8:4", "#9b59b6", "-"),
+        ("results/train_r5_L10demoh4.log", "MC-demo + margin h4", "#6c3483", "-"),
     ]
     for path, label, color, ls in scratch_arms:
         try:
