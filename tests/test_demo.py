@@ -195,6 +195,45 @@ class TestDemoMargin:
         assert j_e(params) < j0
 
 
+class TestDemoCheckpointCompat:
+    """The demo buffer lives OUTSIDE TrainState, so checkpoints are
+    resume-compatible in both directions (docs/ROUND5_NOTES.md): a demo-off
+    checkpoint can be resumed with demos on (the round-5 D1 plan), and a
+    demo-on checkpoint can be resumed demo-free."""
+
+    def test_demo_off_checkpoint_resumes_with_demos_on(self, tmp_path):
+        from tetris_piclim_tpu.utils.checkpoint import (
+            restore_train_state, save_train_state)
+
+        tr = DQNTrainer(_cfg(demo_every=0))
+        tr.train(log_fn=None)
+        step_before = int(tr.state.global_step)
+        path = str(tmp_path / "ckpt")
+        save_train_state(path, tr.state)
+
+        tr2 = DQNTrainer(_cfg())          # demos ON
+        tr2.state = restore_train_state(path, tr2.state)
+        tr2.train(total_steps=20, log_fn=None)
+        assert int(tr2.state.global_step) == step_before + 20
+        assert int(tr2._demo.size) == 512  # buffer built on first chunk
+
+    def test_demo_on_checkpoint_resumes_demo_free(self, tmp_path):
+        from tetris_piclim_tpu.utils.checkpoint import (
+            restore_train_state, save_train_state)
+
+        tr = DQNTrainer(_cfg())
+        tr.train(log_fn=None)
+        step_before = int(tr.state.global_step)
+        path = str(tmp_path / "ckpt")
+        save_train_state(path, tr.state)
+
+        tr2 = DQNTrainer(_cfg(demo_every=0))
+        tr2.state = restore_train_state(path, tr2.state)
+        tr2.train(total_steps=20, log_fn=None)
+        assert int(tr2.state.global_step) == step_before + 20
+        assert tr2._demo is None
+
+
 class TestAmsgradBf16:
     def test_bf16_state_matches_f32_direction(self):
         """The bf16-moment AMSGrad produces (nearly) the same update as the

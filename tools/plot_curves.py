@@ -255,8 +255,14 @@ def main_r5(out="results/curves_r5.png"):
         ("results/train_r5_L10h84.log", "narrow h8:4 (G1)", "#3d9970", "-"),
         ("results/train_r5_L10demo.log", "TD-demo (diverged)", "#d64545", "--"),
         ("results/train_r5_L10demo2.log", "MC-demo + margin h8:4", "#9b59b6", "-"),
-        ("results/train_r5_L10demoh4.log", "MC-demo + margin h4", "#6c3483", "-"),
     ]
+    demo_ladder = ladder_xy([
+        ("results/train_r5_L10demoh4.log", 0.0),
+        ("results/train_r5_L10demoh4c.log", 1.024e9),
+    ])
+    if demo_ladder[0]:
+        ax1.plot([x / 1e9 for x in demo_ladder[0]], demo_ladder[1],
+                 color="#6c3483", lw=1.4, label="MC-demo + margin h4 (+resume)")
     for path, label, color, ls in scratch_arms:
         try:
             steps, wr = parse(path)
